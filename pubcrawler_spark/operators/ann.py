@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (driver mandate + SURVEY.md
+T5/J1/V2): brute-force exact cosine top-k baseline and an LSH-bucketed
+approximate variant as the scale path.
+
+- :func:`cosine_topk` — exact: normalize, dot via ``zip_with`` +
+  ``aggregate`` (pure expressions, codegen'd), ``orderBy desc limit k``
+  (TakeOrderedAndProject — no global sort materialization).
+- :func:`cosine_topk_pandas` — same semantics through one vectorized
+  numpy matmul pass (Arrow); faster per-row at high dims, used by bench
+  to pick the physical strategy.
+- :func:`lsh_bucket_topk` — random-hyperplane LSH: b sign-bits per
+  vector → candidates share the query's bucket (hamming ≤ r probing),
+  exact cosine re-rank inside candidates. At 10^10 rows the bucket join
+  replaces the full scan; recall is tunable via (b, r).
+- :func:`semantic_search` — reference semantic flow (search_service.py:
+  173-208): query vec → top-k → join back to documents (J1 broadcast),
+  similarity = cosine (the fixture's analog of 1 − distance).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def _normed(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
+    return emb.select(
+        F.col(id_col).alias("vid"),
+        F.transform(vec_col, lambda x: x / norm).alias("nv"),
+    )
+
+
+def _qnorm(qvec: list[float]) -> list[float]:
+    q = np.asarray(qvec, dtype=np.float64)
+    n = float(np.linalg.norm(q))
+    return (q / (n or 1.0)).tolist()
+
+
+def cosine_topk(
+    emb: DataFrame, qvec: list[float], k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact cosine top-k, pure expressions (no Python in the scan)."""
+    q = F.lit(_qnorm(qvec))  # array literal, constant-folded
+    n = _normed(emb, id_col, vec_col)
+    dot = F.aggregate(
+        F.zip_with("nv", q, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    return (
+        n.withColumn("similarity", F.round(dot, 6))
+        .select("vid", "similarity")
+        .orderBy(F.desc("similarity"), F.asc("vid"))
+        .limit(k)
+    )
+
+
+def cosine_topk_pandas(
+    emb: DataFrame, qvec: list[float], k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Same result through one numpy matmul per Arrow batch."""
+    q = np.asarray(_qnorm(qvec), dtype=np.float64)
+
+    @F.pandas_udf("double")
+    def _sim(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series(np.round(m @ q, 6))
+
+    return (
+        emb.select(F.col(id_col).alias("vid"), _sim(F.col(vec_col)).alias("similarity"))
+        .orderBy(F.desc("similarity"), F.asc("vid"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed scale path
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 11) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+def lsh_bucket_topk(
+    emb: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    n_bits: int = 12,
+    probe_hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Random-hyperplane LSH: prune to buckets within hamming ≤ r of the
+    query's signature, then exact cosine re-rank.
+
+    The signature is computed in one Arrow pass; the bucket filter is a
+    JVM-side ``bit_count(xor) <= r`` — at scale, signatures live as a
+    persisted column and the filter prunes partitions bucketed by
+    signature prefix.
+    """
+    q = np.asarray(_qnorm(qvec), dtype=np.float64)
+    planes = _hyperplanes(dim or len(q), n_bits)
+    qsig = int(((planes @ q) > 0).astype(np.uint64) @ (1 << np.arange(n_bits, dtype=np.uint64)))
+    bp = planes.T.copy()
+
+    @F.pandas_udf("long")
+    def _sig(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        bits = (m @ bp) > 0
+        weights = (1 << np.arange(n_bits, dtype=np.uint64))
+        return pd.Series((bits.astype(np.uint64) @ weights).astype(np.int64))
+
+    sigged = emb.withColumn("__sig", _sig(F.col(vec_col)))
+    cands = sigged.filter(
+        F.bit_count(F.col("__sig").bitwiseXOR(F.lit(qsig))) <= probe_hamming
+    )
+    return cosine_topk(cands, qvec, k, id_col, vec_col)
+
+
+def semantic_search(
+    emb: DataFrame,
+    docs: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """T5+J1: top-k ids → broadcast join back to document metadata,
+    ANN-rank order preserved (search_service.py:182-203)."""
+    topk = cosine_topk(emb, qvec, k)
+    return (
+        topk.join(F.broadcast(docs.withColumnRenamed(doc_id_col, "vid")), "vid")
+        .orderBy(F.desc("similarity"), F.asc("vid"))
+    )

@@ -1,0 +1,170 @@
+"""Fetch scheduling: robots rules, per-host politeness budgets with skew
+salting, deterministic global crawl order (SURVEY.md W3/W4/X2/X7).
+
+The reference serializes tasks and fetches in submission order with a
+per-task thread budget (/root/reference/src/crawlers/run_crawler.py:110,
+src/scrapers/acl_scraper.py:93-94) and paces with wall-clock sleeps
+(iclr_scraper.py:67, tpami_scraper.py:111). The engine replaces sleeps
+with *slots*: at most ``host_budget`` URLs per host per iteration, picked
+by a deterministic total order.
+
+Ordering contract (deterministic under any parallelism):
+``(priority DESC, depth ASC, seq ASC, url_hash ASC)`` where ``seq`` is
+the deterministic discovery sequence (parent_seq * 100_000 + link_pos).
+
+Skew handling (north rule: explicit partitioning/shuffle/skew):
+a Zipf-hot host would make one `Window.partitionBy(host)` partition
+giant — AQE does NOT split skewed window partitions. We salt:
+``host_salt = pmod(url_hash, S)`` with S scaled to the host's candidate
+count, take the per-(host, salt) top-``budget`` first (bounds every
+window partition to ~count/S rows), then re-rank the ≤ S·budget
+survivors per host to enforce the exact budget. Correctness: the true
+per-host top-budget set is a subset of pass-1 winners because each salt
+keeps ``budget`` rows.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+FRONTIER_SCHEMA = (
+    "url string, url_canon string, url_hash long, host string, "
+    "priority double, depth int, seq long"
+)
+
+def ORDER_COLS():
+    """Deterministic total order: (priority desc, depth, seq, url_hash)."""
+    return [
+        F.col("priority").desc(),
+        F.col("depth").asc(),
+        F.col("seq").asc(),
+        F.col("url_hash").asc(),
+    ]
+
+
+def dedup_candidates(frontier: DataFrame) -> DataFrame:
+    """One row per url_canon: keep the best-ordered discovery (U3)."""
+    w = Window.partitionBy("url_canon").orderBy(*ORDER_COLS())
+    return (
+        frontier.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def parse_robots_rules(robots: DataFrame) -> DataFrame:
+    """robots(host, robots_txt) -> (host, disallow array<string>, crawl_delay_ms int).
+
+    Vectorized over distinct robots_txt values (hosts overwhelmingly
+    share a handful of robots shapes at scale).
+    """
+
+    def _parse_one(txt: str) -> tuple[list[str], int]:
+        active, dis, delay = False, [], 0
+        for line in (txt or "").splitlines():
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            key, _, val = line.partition(":")
+            key, val = key.strip().lower(), val.strip()
+            if key == "user-agent":
+                active = val == "*"
+            elif key == "disallow" and active and val:
+                dis.append(val)
+            elif key == "crawl-delay" and active:
+                try:
+                    delay = int(float(val) * 1000)
+                except ValueError:
+                    pass
+        return dis, delay
+
+    @F.pandas_udf("struct<disallow: array<string>, crawl_delay_ms: int>")
+    def _parse(txts: pd.Series) -> pd.DataFrame:
+        cache = {t: _parse_one(t) for t in txts.unique()}
+        mapped = txts.map(cache)
+        return pd.DataFrame(
+            {
+                "disallow": mapped.str[0],
+                "crawl_delay_ms": mapped.str[1],
+            }
+        )
+
+    parsed = robots.withColumn("__r", _parse("robots_txt"))
+    return parsed.select(
+        "host",
+        F.col("__r.disallow").alias("disallow"),
+        F.col("__r.crawl_delay_ms").alias("crawl_delay_ms"),
+    )
+
+
+def split_robots(frontier: DataFrame, robots_rules: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Partition candidates into (allowed, disallowed) per robots rules.
+
+    ``robots_rules`` is a per-host dim table — broadcast join, then a
+    pure-expression prefix test: path starts-with any disallow prefix
+    (F.exists over the array; no UDF).
+    """
+    with_path = frontier.withColumn(
+        "__path",
+        F.concat(F.lit("/"), F.coalesce(F.element_at(F.split(F.col("url_canon"), "://|/", 3), 3), F.lit(""))),
+    )
+    joined = with_path.join(F.broadcast(robots_rules), "host", "left")
+    is_disallowed = F.when(
+        F.col("disallow").isNotNull(),
+        F.exists("disallow", lambda p: F.col("__path").startswith(p)),
+    ).otherwise(F.lit(False))
+    tagged = joined.withColumn("__dis", is_disallowed)
+    allowed = tagged.filter(~F.col("__dis")).drop("__path", "__dis", "disallow", "crawl_delay_ms")
+    disallowed = tagged.filter(F.col("__dis")).drop("__path", "__dis", "disallow", "crawl_delay_ms")
+    return allowed, disallowed
+
+
+def pick_schedule(
+    allowed: DataFrame,
+    host_budget: int,
+    iteration: int,
+    salt_rows: int = 50_000,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Per-host top-``host_budget`` then deterministic global sequence.
+
+    Returns fetch_schedule(iteration, seq, url, url_canon, url_hash,
+    host, priority, depth, disc_seq).
+    """
+    # per-iteration host frequency → salt factor S (skew-aware)
+    host_counts = allowed.groupBy("host").agg(F.count("*").alias("__hc"))
+    salted = (
+        allowed.join(F.broadcast(host_counts), "host")
+        .withColumn("__S", F.greatest(F.lit(1), F.ceil(F.col("__hc") / F.lit(salt_rows))).cast("int"))
+        .withColumn("host_salt", F.pmod(F.col("url_hash"), F.col("__S")).cast("int"))
+    )
+    # pass 1: bound each window partition to ~salt_rows rows, keep
+    # budget rows per salt (superset of the true per-host top-budget)
+    w1 = Window.partitionBy("host", "host_salt").orderBy(*ORDER_COLS())
+    pass1 = (
+        salted.repartition("host", "host_salt")
+        .withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= host_budget)
+    )
+    # pass 2: exact per-host budget over the ≤ S·budget survivors
+    w2 = Window.partitionBy("host").orderBy(*ORDER_COLS())
+    picked = (
+        pass1.withColumn("__rn2", F.row_number().over(w2))
+        .filter(F.col("__rn2") <= host_budget)
+        .drop("__rn1", "__rn2", "__hc", "__S", "host_salt")
+    )
+    # global deterministic sequence. The schedule is budget-bounded
+    # (≤ hosts × budget rows), so a single-partition window here ranks a
+    # small set; the heavy ranking already happened per (host, salt).
+    # Discovery seq is preserved as disc_seq (child-link ordering key).
+    picked = picked.withColumnRenamed("seq", "disc_seq")
+    wg = Window.orderBy(
+        F.col("priority").desc(),
+        F.col("depth").asc(),
+        F.col("disc_seq").asc(),
+        F.col("url_hash").asc(),
+    )
+    return picked.withColumn(
+        "seq", F.row_number().over(wg).cast("long") - 1
+    ).withColumn("iteration", F.lit(iteration))

@@ -1,0 +1,90 @@
+"""Text-analysis operators for a training-data pipeline (driver mandate):
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All pure-expression (JVM-side, whole-stage codegen — no UDFs), designed
+so each has an exact ANSI-SQL oracle for the DuckDB correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Marker words per language for the n-gram/stopword-count heuristic.
+# Chosen to be SQL-expressible (regexp_count in both Spark and DuckDB).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "with", "for"],
+    "de": ["der", "die", "und", "das", "nicht", "mit", "von"],
+    "fr": ["le", "la", "les", "et", "est", "pour", "dans"],
+    "es": ["el", "los", "las", "es", "para", "una", "con"],
+}
+
+
+def _marker_count(col, words: list[str]):
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(col), F.lit(pat))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of per-language marker-word counts,
+    'und' (undetermined) when all are zero. Deterministic tie-break by
+    language order en > de > fr > es (strictly-greater comparison)."""
+    col = F.col(text_col)
+    scores = {lang: _marker_count(col, ws) for lang, ws in LANG_MARKERS.items()}
+    df = df.withColumns({f"score_{lang}": s for lang, s in scores.items()})
+    langs = list(LANG_MARKERS)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in langs:
+        s = F.col(f"score_{lang}")
+        better = s > best_score
+        best = F.when(better, F.lit(lang)).otherwise(best)
+        best_score = F.when(better, s).otherwise(best_score)
+    return df.withColumn("lang_pred", best)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality heuristics: length, punctuation ratio, stopword ratio,
+    mean word length, and a composite [0,1] score (webtext-style
+    filtering signals, cf. C4/Gopher rules)."""
+    col = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(col)
+    n_words = F.size(F.split(F.trim(col), r"\s+"))
+    n_punct = F.regexp_count(col, F.lit(r"[^\w\s]"))
+    n_stop = _marker_count(col, LANG_MARKERS["en"])
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(0.0)
+    mean_word_len = F.when(n_words > 0, (n_chars - n_words + 1) / n_words).otherwise(0.0)
+    score = (
+        F.when((n_words >= 10) & (n_words <= 100000), 0.4).otherwise(0.0)
+        + F.when((punct_ratio > 0.0) & (punct_ratio < 0.2), 0.3).otherwise(0.0)
+        + F.when(stop_ratio > 0.05, 0.3).otherwise(0.0)
+    )
+    return (
+        df.withColumn("n_chars_calc", n_chars.cast("long"))
+        .withColumn("n_words", n_words.cast("long"))
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("stop_ratio", F.round(stop_ratio, 6))
+        .withColumn("mean_word_len", F.round(mean_word_len, 6))
+        .withColumn("quality", F.round(score, 2))
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    (words / numbers / single non-space symbols), the standard
+    pre-tokenizer shape."""
+    col = F.coalesce(F.col(text_col), F.lit(""))
+    ws = F.when(F.length(F.trim(col)) == 0, 0).otherwise(
+        F.size(F.split(F.trim(col), r"\s+"))
+    )
+    bpe = F.regexp_count(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    return df.withColumn("ws_tokens", ws.cast("long")).withColumn(
+        "bpe_tokens", bpe.cast("long")
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase
+    text — the exact-dedup key (stable across Spark and DuckDB)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " ")))
+    return df.withColumn("fp", F.md5(norm))

@@ -1,0 +1,135 @@
+"""End-to-end frontier parity: Spark engine vs pure-Python reference
+mirror on identical fixture pages (SURVEY.md §7.5 oracle summary).
+
+Checks, per the north rule:
+- fetch-schedule ORDER matches exactly (iteration, seq, url_canon),
+- URL-seen MEMBERSHIP matches exactly,
+- extracted text is BYTE-IDENTICAL per url,
+- kill-and-resume from checkpoint equals the uninterrupted run.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from pubcrawler_spark import refmirror as rm
+from pubcrawler_spark.fixtures import (
+    YEAR,
+    generate_pages,
+    is_index_url,
+    pages_spark_df,
+    robots_spark_df,
+)
+from pubcrawler_spark.plans.frontier import CrawlEngine
+
+N_PAGES = 400
+BUDGET = 7
+MAX_ITER = 4
+
+
+@pytest.fixture(scope="module")
+def fixture():
+    return generate_pages(N_PAGES)
+
+
+@pytest.fixture(scope="module")
+def mirror_result(fixture):
+    pages = {r["url"]: r["html"] for r in fixture.rows}
+    return rm.mirror_crawl(
+        pages,
+        fixture.seeds,
+        fixture.robots,
+        host_budget=BUDGET,
+        max_iterations=MAX_ITER,
+        year=YEAR,
+        index_url_pred=is_index_url,
+    )
+
+
+def _run_engine(spark, fixture, tmp, seen_mode="exact", resume_at=None):
+    engine = CrawlEngine(
+        spark,
+        pages_spark_df(spark, fixture),
+        robots_spark_df(spark, fixture),
+        fixture.seeds,
+        checkpoint_dir=str(tmp),
+        year=YEAR,
+        host_budget=BUDGET,
+        seen_mode=seen_mode,
+        salt_rows=40,  # force salting paths to exercise at fixture scale
+    )
+    if resume_at is not None:
+        engine.run(max_iterations=resume_at)
+        # simulate crash: an in-progress tmp dir is left behind
+        engine.run(max_iterations=MAX_ITER, resume=True)
+    else:
+        engine.run(max_iterations=MAX_ITER)
+    return engine
+
+
+def _assert_matches_mirror(engine, mirror_result, fixture):
+    got = [
+        (r.iteration, r.seq, r.url_canon)
+        for r in engine.full_schedule().orderBy("iteration", "seq").collect()
+    ]
+    want = [(s["iteration"], s["seq"], s["url_canon"]) for s in mirror_result["schedule"]]
+    assert got == want, (
+        f"schedule mismatch: engine {len(got)} rows vs mirror {len(want)}; "
+        f"first diff: {next((a, b) for a, b in zip(got, want) if a != b) if got and want else None}"
+    )
+
+    got_seen = {r.url_canon for r in engine.final_seen().collect()}
+    assert got_seen == mirror_result["seen"]
+
+    got_text = {
+        r.url_canon: r.text.encode("utf-8")
+        for r in engine.full_parsed().collect()
+    }
+    want_text = {p["url_canon"]: p["text"].encode("utf-8") for p in mirror_result["parsed"]}
+    assert got_text == want_text
+
+
+def test_engine_matches_mirror_exact(spark, fixture, mirror_result, tmp_path):
+    engine = _run_engine(spark, fixture, tmp_path / "ck")
+    _assert_matches_mirror(engine, mirror_result, fixture)
+    # schedule respects politeness budget: ≤ BUDGET rows per host per iteration
+    per_host = (
+        engine.full_schedule()
+        .groupBy("iteration", "host")
+        .count()
+        .filter(f"count > {BUDGET}")
+        .count()
+    )
+    assert per_host == 0
+    # robots honored: /private/ never scheduled on hosts that disallow it
+    disallowing = [h for h, txt in fixture.robots.items() if "Disallow: /private/" in txt]
+    assert disallowing, "fixture must have at least one disallowing host"
+    sched = engine.full_schedule()
+    bad = (
+        sched.filter("url_canon like '%/private/%'")
+        .filter(sched.host.isin(disallowing))
+        .count()
+    )
+    assert bad == 0
+    # ...and such pages exist in the fixture (the filter did real work)
+    assert any(
+        f"https://{h}/private/" in r["url"] for h in disallowing for r in fixture.rows
+    )
+
+
+def test_engine_matches_mirror_bloom(spark, fixture, mirror_result, tmp_path):
+    # bloom mode must produce the same result here: FPs are possible in
+    # principle but the fixture is small vs the filter size, and the
+    # property test in test_seen.py guarantees no false negatives.
+    engine = _run_engine(spark, fixture, tmp_path / "ckb", seen_mode="bloom")
+    _assert_matches_mirror(engine, mirror_result, fixture)
+
+
+def test_resume_equals_uninterrupted(spark, fixture, mirror_result, tmp_path):
+    engine = _run_engine(spark, fixture, tmp_path / "ckr", resume_at=2)
+    _assert_matches_mirror(engine, mirror_result, fixture)
+    # no URL fetched twice across the resumed run
+    sched = engine.full_schedule()
+    assert sched.count() == sched.select("url_canon").distinct().count()
