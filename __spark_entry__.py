@@ -1,38 +1,44 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (the politeness fetch-schedule
+over a synthetic frontier) on sf0.001; ``queries()``/``oracle_sql()``
+expose every implemented operator from SURVEY.md §2 with DuckDB oracle
+SQL where ANSI SQL can express the semantics (murmur3 hashing, bloom
+probes, HTML parsing and the iterative crawl loop are rows-only — the
+pure-Python reference mirror covers those in tests/test_frontier.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# local-mode Python workers need the package importable too
+_pkg_root = os.path.dirname(os.path.abspath(__file__))
+_pypath = os.environ.get("PYTHONPATH", "")
+if _pkg_root not in _pypath.split(os.pathsep):
+    os.environ["PYTHONPATH"] = _pkg_root + (os.pathsep + _pypath if _pypath else "")
+
+from pubcrawler_spark.queries import ORACLES, QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: deterministic politeness fetch-schedule (canonicalize
+    UDF → salted per-host top-k window → global crawl order) on the
+    sf0.001 events-derived frontier."""
+    return QUERIES["q26_politeness_schedule"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL for each oracle-expressible query."""
+    return dict(ORACLES)

@@ -1,0 +1,203 @@
+"""Benchmark harness (driver contract + BASELINE.md scaling evidence).
+
+Default: runs the frontier crawl bench (the north-star metric:
+scheduled+parsed URLs/sec) plus headline analytics queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <wall sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "urls_per_sec": ...}
+
+Modes:
+    python bench.py                     # full bench, one JSON line
+    python bench.py --frontier-only --cpus 8   # frontier metric only
+    python bench.py --scaling           # local[8] vs local[32] evidence
+                                        # (two subprocesses, same input)
+                                        # → writes BENCH/BASELINE.md
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "60000"))
+BENCH_ITERATIONS = 3
+BENCH_BUDGET = 40
+
+HEADLINE_QUERIES = [
+    "q01_pricing_summary",
+    "q03_region_revenue",
+    "q05_customer_topk_window",
+    "q09_events_sessionize",
+    "q12_word_frequency",
+    "q21_ann_cosine_topk",
+    "q23_embedding_neardup",
+    "q26_politeness_schedule",
+]
+
+
+def _bench_fixture_dir(n_pages: int) -> str:
+    """Materialize the deterministic pages fixture once per size (shared
+    by the scaling subprocesses so both parallelism levels read
+    identical input)."""
+    out = os.path.join(tempfile.gettempdir(), f"pubcrawler_bench_fixture_{n_pages}")
+    marker = os.path.join(out, "_READY")
+    if os.path.exists(marker):
+        return out
+    from pubcrawler_spark.fixtures import generate_pages
+
+    # Common-Crawl-ish page size + fan-out so per-URL parse work is real
+    fx = generate_pages(n_pages, filler_kb=4.0, max_outlinks=6)
+    os.makedirs(out, exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "url": [r["url"] for r in fx.rows],
+            "warc_ts": [r["warc_ts"] for r in fx.rows],
+            "html": [r["html"] for r in fx.rows],
+            "text": [r["text"] for r in fx.rows],
+            "lang": [r["lang"] for r in fx.rows],
+        }
+    )
+    pq.write_table(tbl, os.path.join(out, "pages.parquet"))
+    with open(os.path.join(out, "meta.json"), "w") as fh:
+        json.dump({"seeds": fx.seeds, "robots": fx.robots}, fh)
+    open(marker, "w").close()
+    return out
+
+
+def run_frontier_bench(spark, n_pages: int) -> dict:
+    """North-star metric: scheduled+parsed URLs/sec over the frontier
+    loop (canonicalize → seen → robots → schedule → fetch-join → parse
+    → checkpoint), steady-state iterations on the Iceberg-stand-in."""
+    from pubcrawler_spark.fixtures import YEAR
+    from pubcrawler_spark.plans.frontier import CrawlEngine
+
+    fdir = _bench_fixture_dir(n_pages)
+    pages = spark.read.parquet(os.path.join(fdir, "pages.parquet"))
+    meta = json.load(open(os.path.join(fdir, "meta.json")))
+    robots = spark.createDataFrame(
+        sorted(meta["robots"].items()), "host string, robots_txt string"
+    )
+    ck = tempfile.mkdtemp(prefix="bench_ck_")
+    engine = CrawlEngine(
+        spark, pages, robots, meta["seeds"], checkpoint_dir=ck, year=YEAR,
+        host_budget=BENCH_BUDGET, seen_mode="bloom", detailed_metrics=False,
+    )
+    # warm the pages cache + JVM outside the timed section
+    engine.pages.count()
+    t0 = time.monotonic()
+    totals = engine.run(max_iterations=BENCH_ITERATIONS)
+    wall = time.monotonic() - t0
+    shutil.rmtree(ck, ignore_errors=True)
+    urls = totals["scheduled"] + totals["parsed"]
+    return {
+        "frontier_wall_sec": round(wall, 3),
+        "scheduled": totals["scheduled"],
+        "parsed": totals["parsed"],
+        "urls_per_sec": round(urls / wall, 1),
+        "n_pages": n_pages,
+        "iterations": totals["iterations"],
+    }
+
+
+def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
+    from pubcrawler_spark.queries import QUERIES
+
+    out = {}
+    for name in HEADLINE_QUERIES:
+        t0 = time.monotonic()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frontier-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--pages", type=int, default=BENCH_PAGES)
+    ap.add_argument("--scaling", action="store_true")
+    args = ap.parse_args()
+
+    if args.scaling:
+        return run_scaling(args.pages)
+
+    cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count()))
+    from pubcrawler_spark.session import get_spark
+
+    spark = get_spark("pubcrawler-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    frontier = run_frontier_bench(spark, args.pages)
+    result = {
+        "metric": "frontier scheduled+parsed URLs/sec (canonicalize→bloom-seen→robots→politeness-schedule→fetch-join→parse→checkpoint)",
+        "value": frontier["frontier_wall_sec"],
+        "unit": "sec",
+        "sf": float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1),
+        "urls_per_sec": frontier["urls_per_sec"],
+        "frontier": frontier,
+        "cpus": cpus,
+    }
+    if not args.frontier_only:
+        result["queries"] = run_query_bench(spark, SF_DIR)
+    print(json.dumps(result))
+    spark.stop()
+
+
+def run_scaling(n_pages: int) -> None:
+    """North-rule evidence: same job, same input, two parallelism levels
+    (the sandbox stand-in for N vs 4N executors)."""
+    _bench_fixture_dir(n_pages)  # materialize once
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--frontier-only", "--cpus", str(cpus), "--pages", str(n_pages)],
+            capture_output=True, text=True, check=True, cwd=REPO,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t8 = results[8]["urls_per_sec"]
+    t32 = results[32]["urls_per_sec"]
+    eff = (t32 / t8) / 4.0
+    summary = {
+        "metric": "scaling efficiency local[8]→local[32] (N→4N cores stand-in)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "throughput_local8_urls_per_sec": t8,
+        "throughput_local32_urls_per_sec": t32,
+        "n_pages": n_pages,
+    }
+    print(json.dumps(summary))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+        fh.write(
+            "# BENCH/BASELINE.md — scaling evidence (north rule)\n\n"
+            "Same frontier job, identical fixture input "
+            f"({n_pages} pages, {BENCH_ITERATIONS} iterations, host budget {BENCH_BUDGET}, bloom seen-set), "
+            "run at two parallelism levels as the sandbox stand-in for N vs 4N executors "
+            "(BASELINE.json north_rule; driver instruction).\n\n"
+            "| parallelism | scheduled+parsed URLs/sec | wall sec |\n|---|---|---|\n"
+            f"| local[8] | {t8} | {results[8]['value']} |\n"
+            f"| local[32] | {t32} | {results[32]['value']} |\n\n"
+            f"**Scaling efficiency (T32/T8)/4 = {eff:.3f}** (target ≥ 0.8 — see BASELINE.md).\n\n"
+            f"Raw: `{json.dumps(results)}`\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

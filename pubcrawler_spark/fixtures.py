@@ -53,7 +53,10 @@ class PagesFixture:
     hosts: list
 
 
-def _detail_html(title: str, authors: list[str], abstract: str, pdf_href: str, outlinks: list[str]) -> str:
+def _detail_html(
+    title: str, authors: list[str], abstract: str, pdf_href: str,
+    outlinks: list[str], filler: str = "",
+) -> str:
     esc = lambda s: (
         s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     )
@@ -68,6 +71,7 @@ def _detail_html(title: str, authors: list[str], abstract: str, pdf_href: str, o
         f'<section><h2 id="title"> {esc(title)} </h2></section>\n'
         f'<p class="lead">{author_html}</p>\n'
         f'<div class="acl-abstract"><span>{esc(abstract)}</span></div>\n'
+        f"{filler}"
         f'<div class="links">\n{out_html}</div>\n'
         "</body></html>\n"
     )
@@ -84,15 +88,25 @@ def _index_html(hrefs: list[str], year: int) -> str:
     return f"<!DOCTYPE html>\n<html><body>\n{rows}</body></html>\n"
 
 
-def generate_pages(n_pages: int = 2000, seed: int = 42) -> PagesFixture:
+def generate_pages(
+    n_pages: int = 2000, seed: int = 42, filler_kb: float = 0.0, max_outlinks: int = 2
+) -> PagesFixture:
     """Build the deterministic fixture corpus.
 
     Layout: H hosts with Zipf(1.2)-skewed page counts. Each host gets
     one index page listing its first-wave detail pages; detail pages
-    carry 0-2 out-links to other detail pages on the same host
-    (second-wave frontier expansion) and ~3% live under /private/.
+    carry out-links to other same-host detail pages (second-wave
+    frontier expansion) and ~3% live under /private/.
+
+    ``filler_kb`` pads each detail page with Common-Crawl-sized boiler
+    content (bench realism: parse scans real bytes; does not change the
+    extracted record). ``max_outlinks`` sizes the frontier fan-out.
     """
     rng = np.random.default_rng(seed)
+    filler = ""
+    if filler_kb > 0:
+        unit = '<p class="filler">the quick brown fox jumps over the lazy web page </p>\n'
+        filler = unit * max(1, int(filler_kb * 1024 / len(unit)))
     n_hosts = max(4, n_pages // 120)
     # Zipf-ish weights, forced hot head ~30%
     w = 1.0 / np.arange(1, n_hosts + 1) ** 1.2
@@ -132,14 +146,14 @@ def generate_pages(n_pages: int = 2000, seed: int = 42) -> PagesFixture:
             pdf_href = f"/pdf/paper{i}.pdf" if rel_pdf else f"https://cdn.{host}/paper{i}.pdf"
             detail_specs.append((url, title, authors, abstract, pdf_href, private))
 
-        # out-links: each detail page links to up to 2 later same-host pages
+        # out-links: each detail page links to up to max_outlinks same-host pages
         for i, (url, title, authors, abstract, pdf_href, private) in enumerate(detail_specs):
-            n_out = int(rng.integers(0, 3))
+            n_out = int(rng.integers(0, max_outlinks + 1))
             outs = [
                 detail_urls[int(rng.integers(len(detail_urls)))]
                 for _ in range(n_out)
             ]
-            html = _detail_html(title, authors, abstract, pdf_href, outs)
+            html = _detail_html(title, authors, abstract, pdf_href, outs, filler)
             rec_title = title.strip()
             text = f"{rec_title}\n{', '.join(authors)}\n{abstract}"
             url_out = url

@@ -152,7 +152,9 @@ def word_frequency(
                 F.split(F.regexp_replace(F.lower(text), r"[^\w\s]", ""), r"\s+")
             ).alias("word")
         )
-        .filter(F.col("word").rlike("^[a-z]+$") & (F.length("word") > min_len))
+        # \p{L}+ ≙ the reference's unicode-aware str.isalpha()
+        # (analyzer.py:44 keeps CJK tokens)
+        .filter(F.col("word").rlike(r"^\p{L}+$") & (F.length("word") > min_len))
     )
     stop = spark.createDataFrame([(w,) for w in ALL_STOPWORDS], "word string")
     counts = (

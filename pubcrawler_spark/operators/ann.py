@@ -19,17 +19,11 @@ approximate variant as the scale path.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-
-
-def _normed(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
-    return emb.select(
-        F.col(id_col).alias("vid"),
-        F.transform(vec_col, lambda x: x / norm).alias("nv"),
-    )
 
 
 def _qnorm(qvec: list[float]) -> list[float]:
@@ -38,17 +32,30 @@ def _qnorm(qvec: list[float]) -> list[float]:
     return (q / (n or 1.0)).tolist()
 
 
+def _seqdot(x: list[float]) -> float:
+    """Sequential left-to-right dot(x,x) — mirrors F.aggregate fold order."""
+    acc = 0.0
+    for v in x:
+        acc += v * v
+    return acc
+
+
 def cosine_topk(
     emb: DataFrame, qvec: list[float], k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Exact cosine top-k, pure expressions (no Python in the scan)."""
-    q = F.lit(_qnorm(qvec))  # array literal, constant-folded
-    n = _normed(emb, id_col, vec_col)
-    dot = F.aggregate(
-        F.zip_with("nv", q, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
+    """Exact cosine top-k, pure expressions (no Python in the scan).
+
+    cosine = dot(e,q) / (‖e‖·‖q‖) — all double, sequential folds, so an
+    ANSI-SQL list_dot_product oracle reproduces it bit-for-bit.
+    """
+    qd = [float(v) for v in qvec]
+    qn = math.sqrt(_seqdot(qd))
+    q = F.lit(qd)  # array<double> literal, constant-folded
+    e = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("e"))
+    dot = F.aggregate(F.zip_with("e", q, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    nrm = F.sqrt(F.aggregate("e", F.lit(0.0), lambda a, x: a + x * x))
     return (
-        n.withColumn("similarity", F.round(dot, 6))
+        e.withColumn("similarity", F.round(dot / (nrm * F.lit(qn)), 6))
         .select("vid", "similarity")
         .orderBy(F.desc("similarity"), F.asc("vid"))
         .limit(k)

@@ -58,30 +58,23 @@ def _norm_text(col):
 
 
 def char_shingles(df: DataFrame, id_col: str, text_col: str = "text", k: int = 5) -> DataFrame:
-    """(id, shingle) distinct rows — character k-grams of normalized text.
-
-    Pure expressions: sequence + transform + substring + explode.
-    """
+    """(doc, shingle) distinct rows — character k-grams of normalized
+    text. Pure expressions: sequence → transform(substr) →
+    array_distinct → explode (whole-stage codegen'd, no UDF)."""
     norm = _norm_text(F.coalesce(F.col(text_col), F.lit("")))
-    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(0))
-    shingles = F.transform(
-        F.sequence(F.lit(1), n), lambda i: F.substring(norm, 1, 0).isNotNull().cast("int") * 0 + i
+    df2 = df.select(F.col(id_col).alias("doc"), norm.alias("__t")).withColumn(
+        "__n", F.length("__t") - F.lit(k - 1)
     )
-    # substring with dynamic start: use expr-level transform
-    df2 = df.select(F.col(id_col).alias("doc"), norm.alias("__t"), n.alias("__n"))
-    return (
-        df2.filter(F.col("__n") > 0)
-        .select(
-            "doc",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.col("__n")),
-                        lambda i: F.substring(F.col("__t"), 1, 10**9).substr(i, F.lit(k)),
-                    )
+    return df2.filter(F.col("__n") > 0).select(
+        "doc",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__n")),
+                    lambda i: F.col("__t").substr(i, F.lit(k)),
                 )
-            ).alias("shingle"),
-        )
+            )
+        ).alias("shingle"),
     )
 
 
@@ -288,20 +281,27 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Pairs with cosine similarity ≥ τ. Exact (all-pairs) baseline —
     at scale swap the cross join for the LSH-bucketed candidates of
-    ann.lsh_buckets (same verify expression)."""
-    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
+    ann.lsh_bucket_topk (same verify expression).
+
+    cosine = dot(a,b) / (‖a‖·‖b‖), computed in double with sequential
+    folds so the DuckDB list_dot_product oracle matches bit-for-bit.
+    """
     n = emb.select(
         F.col(id_col).alias("vid"),
-        F.transform(vec_col, lambda x: x / norm).alias("nv"),
+        F.col(vec_col).cast("array<double>").alias("v"),
     )
-    a = n.select(F.col("vid").alias("id_a"), F.col("nv").alias("v_a"))
-    b = n.select(F.col("vid").alias("id_b"), F.col("nv").alias("v_b"))
-    dot = F.aggregate(
-        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+
+    def _dot(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)
+
+    a = n.select(F.col("vid").alias("id_a"), F.col("v").alias("v_a"))
+    b = n.select(F.col("vid").alias("id_b"), F.col("v").alias("v_b"))
+    cos = _dot("v_a", "v_b") / (
+        F.sqrt(_dot("v_a", "v_a")) * F.sqrt(_dot("v_b", "v_b"))
     )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(dot, 6))
+        .withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
         .orderBy("id_a", "id_b")

@@ -98,8 +98,8 @@ def parse_robots_rules(robots: DataFrame) -> DataFrame:
     )
 
 
-def split_robots(frontier: DataFrame, robots_rules: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Partition candidates into (allowed, disallowed) per robots rules.
+def tag_robots(frontier: DataFrame, robots_rules: DataFrame) -> DataFrame:
+    """Add ``robots_ok`` per robots rules (single pass — callers filter).
 
     ``robots_rules`` is a per-host dim table — broadcast join, then a
     pure-expression prefix test: path starts-with any disallow prefix
@@ -114,10 +114,18 @@ def split_robots(frontier: DataFrame, robots_rules: DataFrame) -> tuple[DataFram
         F.col("disallow").isNotNull(),
         F.exists("disallow", lambda p: F.col("__path").startswith(p)),
     ).otherwise(F.lit(False))
-    tagged = joined.withColumn("__dis", is_disallowed)
-    allowed = tagged.filter(~F.col("__dis")).drop("__path", "__dis", "disallow", "crawl_delay_ms")
-    disallowed = tagged.filter(F.col("__dis")).drop("__path", "__dis", "disallow", "crawl_delay_ms")
-    return allowed, disallowed
+    return joined.withColumn("robots_ok", ~is_disallowed).drop(
+        "__path", "disallow", "crawl_delay_ms"
+    )
+
+
+def split_robots(frontier: DataFrame, robots_rules: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(allowed, disallowed) — see :func:`tag_robots`."""
+    tagged = tag_robots(frontier, robots_rules)
+    return (
+        tagged.filter(F.col("robots_ok")).drop("robots_ok"),
+        tagged.filter(~F.col("robots_ok")).drop("robots_ok"),
+    )
 
 
 def pick_schedule(

@@ -23,6 +23,20 @@ Resume scans for the max committed K and continues at K+1; determinism
 of the schedule (total order W4) makes the resumed run byte-equal to an
 uninterrupted one (tested in tests/test_frontier.py).
 
+Throughput engineering (north-star metric is URLs/sec):
+
+- ONE Spark job per state table per iteration — no standalone
+  ``count()`` actions; row counts come free from the parquet footers of
+  the files just written (``_count_parquet``).
+- The schedule is written first and read back, so every downstream
+  consumer (fetch join, leftover anti-join, seen update) reuses the
+  materialized 200-byte rows instead of re-running the canonicalize UDF
+  and the window stack.
+- The fetch join broadcasts the (budget-bounded) schedule against the
+  cached pages corpus — the corpus never shuffles.
+- ``skipped_seen`` needs an extra aggregation pass, so it is only
+  computed when ``detailed_metrics=True`` (tests); bench runs lite.
+
 At cluster scale the same layout maps 1:1 onto Iceberg table snapshots
 (append ``parsed``/``metrics``, overwrite ``frontier``/``seen``).
 """
@@ -41,7 +55,67 @@ from pubcrawler_spark.operators import schedule as sched
 from pubcrawler_spark.operators import seen as seen_mod
 from pubcrawler_spark.operators.parse import parse_pages
 
-STATE_TABLES = ("frontier", "seen", "schedule", "parsed", "metrics")
+STATE_TABLES = ("candidates", "parsed_links", "frontier", "seen", "metrics")
+
+
+def _parquet_files(path: str) -> list[str]:
+    return [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.startswith("part-") and f.endswith(".parquet")
+    ]
+
+
+def _count_parquet(path: str) -> int:
+    """Row count from parquet footers — no Spark job."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in _parquet_files(path))
+
+
+def _col_null_count(path: str, col: str, invert: bool = False) -> int:
+    """Null count of a column from parquet row-group stats — no IO."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in _parquet_files(path):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    total += c.statistics.null_count or 0
+    return total
+
+
+def _col_sum_false(path: str, col: str) -> int:
+    """Count of False in a boolean column (reads only that column)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in _parquet_files(path):
+        t = pq.read_table(f, columns=[col])
+        total += t.num_rows - t.column(col).combine_chunks().sum().as_py()
+    return int(total)
+
+
+def _write_metrics_pyarrow(path: str, k: int, scheduled: int, parsed: int, skipped_robots: int) -> None:
+    """Lite-mode metrics row written driver-side (no Spark job)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    tbl = pa.table(
+        {
+            "iteration": pa.array([k], pa.int32()),
+            "partition_id": pa.array([-1], pa.int32()),
+            "scheduled": pa.array([scheduled], pa.int64()),
+            "parsed": pa.array([parsed], pa.int64()),
+            "skipped_robots": pa.array([skipped_robots], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(path, "part-00000-metrics.parquet"))
 
 
 class CrawlEngine:
@@ -57,6 +131,7 @@ class CrawlEngine:
         seen_mode: str = "exact",
         n_bloom_shards: int = 32,
         salt_rows: int = 50_000,
+        detailed_metrics: bool = True,
     ) -> None:
         self.spark = spark
         self.year = year
@@ -64,18 +139,15 @@ class CrawlEngine:
         self.seen_mode = seen_mode
         self.n_bloom_shards = n_bloom_shards
         self.salt_rows = salt_rows
+        self.detailed_metrics = detailed_metrics
         self.ckpt = checkpoint_dir
         self.seeds = seeds
         self.robots_rules = sched.parse_robots_rules(robots).cache()
-        # fetch-side table: canonical url is the join key (J5). At real
+        # fetch-side corpus: canonical url is the join key (J5). At real
         # scale `pages` is the Iceberg corpus partitioned by
-        # bucket(url_hash); here we pre-compute the canonical key once.
-        self.pages = (
-            with_canonical_url(pages)
-            .select("url", "url_canon", "html")
-            .repartition("url_canon")
-            .cache()
-        )
+        # bucket(url_hash); the schedule side broadcasts, so this table
+        # is scanned in place and never shuffled.
+        self.pages = with_canonical_url(pages).select("url", "url_canon", "html").cache()
 
     # -- checkpoint plumbing -------------------------------------------------
 
@@ -91,29 +163,6 @@ class CrawlEngine:
                 if os.path.exists(os.path.join(self.ckpt, name, "_manifest.json")):
                     out.append(int(name.split("=")[1]))
         return sorted(out)
-
-    def _commit(self, k: int, dfs: dict[str, DataFrame], counts: dict[str, int]) -> None:
-        tmp = self._iter_dir(k) + ".tmp"
-        final = self._iter_dir(k)
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        for name, df in dfs.items():
-            df.write.mode("overwrite").parquet(os.path.join(tmp, name))
-        manifest = {
-            "iteration": k,
-            "counts": counts,
-            "lineage": {
-                name: sorted(
-                    f for f in os.listdir(os.path.join(tmp, name)) if f.startswith("part-")
-                )
-                for name in dfs
-            },
-        }
-        with open(os.path.join(tmp, "_manifest.json"), "w") as fh:
-            json.dump(manifest, fh, indent=1)
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.rename(tmp, final)  # atomic commit
 
     def _read(self, k: int, name: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self._iter_dir(k), name))
@@ -153,44 +202,70 @@ class CrawlEngine:
         return totals
 
     def _one_iteration(self, k: int, frontier: DataFrame, seen: DataFrame):
-        cand = sched.dedup_candidates(frontier)
+        tmp = self._iter_dir(k) + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
 
+        def _write(df: DataFrame, name: str) -> str:
+            path = os.path.join(tmp, name)
+            df.write.mode("overwrite").parquet(path)
+            return path
+
+        def _rb(name: str) -> DataFrame:
+            return self.spark.read.parquet(os.path.join(tmp, name))
+
+        cand = sched.dedup_candidates(frontier)
         if self.seen_mode == "bloom" and not seen.isEmpty():
             shards = seen_mod.build_bloom_shards(seen, self.n_bloom_shards)
             unseen = seen_mod.filter_unseen_bloom(cand, shards, self.n_bloom_shards)
         else:
             unseen = seen_mod.filter_unseen_exact(cand, seen)
 
-        allowed, disallowed = sched.split_robots(unseen, self.robots_rules)
-        schedule = sched.pick_schedule(
-            allowed, self.host_budget, k, salt_rows=self.salt_rows
-        ).cache()
-        n_sched = schedule.count()
-        if n_sched == 0:
-            return None
+        # JOB 1: deduped+unseen candidates tagged with robots_ok —
+        # materialized ONCE; schedule input, leftover anti-join, robots
+        # metrics and the seen update are all projections of this table.
+        cand_path = _write(sched.tag_robots(unseen, self.robots_rules), "candidates")
+        cand_rb = _rb("candidates")
+        n_cand = _count_parquet(cand_path)
+        n_disallowed = _col_sum_false(cand_path, "robots_ok")
+        allowed_rb = cand_rb.filter(F.col("robots_ok")).drop("robots_ok")
 
-        # simulated fetch: schedule ⋈ pages on url_canon (left: misses = fetch failures)
-        fetched = schedule.join(self.pages.select("url_canon", "html"), "url_canon", "left")
-        parsed_full = parse_pages(fetched, self.year, url_col="url_canon").cache()
-
-        parsed_records = parsed_full.filter(F.col("parsed.id").isNotNull()).select(
-            "url_canon",
-            "parsed.id",
-            "parsed.title",
-            "parsed.authors",
-            "parsed.abstract",
-            "parsed.pdf_url",
-            "parsed.source_url",
-            "parsed.text",
-            F.lit(k).alias("iteration"),
+        # JOB 2: schedule → fetch join → parse, all in one pass.
+        # pick_schedule output is budget-bounded, so it broadcasts into
+        # the cached pages corpus (the corpus never shuffles); the Arrow
+        # parse UDF emits records + out-links. The written table carries
+        # the schedule columns — `schedule` and `parsed` are projections.
+        schedule = sched.pick_schedule(allowed_rb, self.host_budget, k, salt_rows=self.salt_rows)
+        fetched = F.broadcast(schedule).join(
+            self.pages.select("url_canon", "html"), "url_canon", "left"
         )
+        parsed_full = parse_pages(fetched, self.year, url_col="url_canon")
+        pl_path = _write(
+            parsed_full.select(
+                "iteration", "seq", "url_canon", "url_hash", "host",
+                "priority", "depth", "disc_seq",
+                F.col("parsed.id").alias("id"),
+                F.col("parsed.title").alias("title"),
+                F.col("parsed.authors").alias("authors"),
+                F.col("parsed.abstract").alias("abstract"),
+                F.col("parsed.pdf_url").alias("pdf_url"),
+                F.col("parsed.source_url").alias("source_url"),
+                F.col("parsed.text").alias("text"),
+                F.col("parsed.links").alias("links"),
+            ),
+            "parsed_links",
+        )
+        n_sched = _count_parquet(pl_path)
+        if n_sched == 0:
+            shutil.rmtree(tmp)
+            return None
+        pl_rb = _rb("parsed_links")
+        n_parsed = n_sched - _col_null_count(pl_path, "id")
 
-        # frontier expansion: discovered links with deterministic child seq
-        links = parsed_full.select(
-            "priority",
-            "depth",
-            "disc_seq",
-            F.posexplode_outer("parsed.links").alias("pos", "url"),
+        # JOB 3: next frontier = budget-deferred leftovers ∪ new links
+        links = pl_rb.select(
+            "priority", "depth", "disc_seq",
+            F.posexplode_outer("links").alias("pos", "url"),
         ).filter(F.col("url").isNotNull())
         new_frontier = with_canonical_url(
             links.select(
@@ -200,67 +275,90 @@ class CrawlEngine:
                 (F.col("disc_seq") * 100_000 + F.col("pos")).alias("seq"),
             )
         ).select(*_frontier_cols())
-
-        # leftover candidates (budget-deferred) stay in the frontier
-        leftover = allowed.join(
-            schedule.select("url_canon"), "url_canon", "left_anti"
+        leftover = allowed_rb.join(
+            pl_rb.select("url_canon"), "url_canon", "left_anti"
         ).select(*_frontier_cols())
-        next_frontier = leftover.unionByName(new_frontier)
+        frontier_path = _write(leftover.unionByName(new_frontier), "frontier")
 
-        new_seen = (
-            schedule.select("url_hash", "url_canon")
-            .unionByName(disallowed.select("url_hash", "url_canon"))
+        # JOB 4: seen update = scheduled ∪ robots-disallowed ∪ previous
+        seen_path = _write(
+            pl_rb.select("url_hash", "url_canon")
+            .unionByName(cand_rb.filter(~F.col("robots_ok")).select("url_hash", "url_canon"))
             .unionByName(seen)
-            .dropDuplicates(["url_hash"])
-        )
-
-        n_parsed = parsed_records.count()
-        n_disallowed = disallowed.count()
-        metrics = (
-            parsed_full.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(
-                F.count("*").alias("scheduled"),
-                F.count(F.col("parsed.id")).alias("parsed"),
-            )
-            .withColumn("iteration", F.lit(k))
-            .withColumn("skipped_robots", F.lit(n_disallowed))
+            .dropDuplicates(["url_hash"]),
+            "seen",
         )
 
         counts = {
+            "iteration": k,
+            "input_rows": n_cand,
             "scheduled": n_sched,
             "parsed": n_parsed,
             "skipped_robots": n_disallowed,
+            "frontier_next": _count_parquet(frontier_path),
+            "seen_total": _count_parquet(seen_path),
         }
-        out_schedule = schedule.select(
-            "iteration", "seq", "url_canon", "host", "priority", "depth", "url_hash"
-        )
-        self._commit(
-            k,
-            {
-                "frontier": next_frontier,
-                "seen": new_seen,
-                "schedule": out_schedule,
-                "parsed": parsed_records,
-                "metrics": metrics,
+
+        # metrics: lite mode writes the counters with pyarrow (no Spark
+        # job); detailed mode adds per-partition lineage (JOB 5)
+        if self.detailed_metrics:
+            metrics = (
+                pl_rb.groupBy(F.spark_partition_id().alias("partition_id"))
+                .agg(
+                    F.count("*").alias("scheduled"),
+                    F.count("id").alias("parsed"),
+                )
+                .withColumn("iteration", F.lit(k))
+                .withColumn("skipped_robots", F.lit(n_disallowed))
+            )
+            _write(metrics, "metrics")
+        else:
+            _write_metrics_pyarrow(
+                os.path.join(tmp, "metrics"), k, n_sched, n_parsed, n_disallowed
+            )
+
+        manifest = {
+            "iteration": k,
+            "counts": counts,
+            "lineage": {
+                name: sorted(
+                    f for f in os.listdir(os.path.join(tmp, name)) if f.startswith("part-")
+                )
+                for name in os.listdir(tmp)
+                if os.path.isdir(os.path.join(tmp, name))
             },
-            counts,
-        )
+        }
+        with open(os.path.join(tmp, "_manifest.json"), "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        final = self._iter_dir(k)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)  # atomic commit
+
         # read back committed state (cuts lineage like Iceberg snapshot reads)
-        frontier_next = self._read(k, "frontier")
-        seen_next = self._read(k, "seen")
-        schedule.unpersist()
-        parsed_full.unpersist()
-        return frontier_next, seen_next, counts
+        return self._read(k, "frontier"), self._read(k, "seen"), counts
 
     # -- readers over the full run --------------------------------------------
+    # `parsed_links` carries the schedule columns (written once per
+    # iteration); `schedule` and `parsed` are column-pruned projections.
+
+    def _read_all(self, name: str) -> DataFrame:
+        dirs = [os.path.join(self._iter_dir(k), name) for k in self.committed_iterations()]
+        return self.spark.read.parquet(*dirs)
 
     def full_schedule(self) -> DataFrame:
-        dirs = [os.path.join(self._iter_dir(k), "schedule") for k in self.committed_iterations()]
-        return self.spark.read.parquet(*dirs)
+        return self._read_all("parsed_links").select(
+            "iteration", "seq", "url_canon", "url_hash", "host", "priority", "depth"
+        )
 
     def full_parsed(self) -> DataFrame:
-        dirs = [os.path.join(self._iter_dir(k), "parsed") for k in self.committed_iterations()]
-        return self.spark.read.parquet(*dirs)
+        return self._read_all("parsed_links").filter(F.col("id").isNotNull()).select(
+            "url_canon", "id", "title", "authors", "abstract",
+            "pdf_url", "source_url", "text", "iteration",
+        )
+
+    def full_metrics(self) -> DataFrame:
+        return self._read_all("metrics")
 
     def final_seen(self) -> DataFrame:
         k = self.committed_iterations()[-1]

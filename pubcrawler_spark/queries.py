@@ -1,0 +1,740 @@
+"""Query registry: every operator exposed as (Spark callable, DuckDB
+oracle SQL) pairs for the driver correctness gate (__spark_entry__.py).
+
+Conventions that make the order-insensitive value-hash comparison hold:
+
+- every computed column is aliased IDENTICALLY in Spark and SQL;
+- money aggregates go through DECIMAL(18,4) (exact, order-independent)
+  then round+cast to double — bit-equal on both engines;
+- float similarity uses dot/(‖a‖·‖b‖) in double with sequential folds
+  (F.aggregate ≙ DuckDB list_dot_product), rounded to 6;
+- every query ends in a deterministic total ORDER BY.
+
+Frontier-specific operators that SQL cannot express (murmur3 hashing,
+bloom probes, HTML parsing, the full crawl loop) are registered without
+an oracle — the driver records a rows-only check and pytest covers them
+against the pure-Python reference mirror instead.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from pubcrawler_spark.operators import analytics, ann, dedup, schedule as sched, search, textstats
+from pubcrawler_spark.operators.seen import filter_unseen_exact
+
+# taxonomy over the documents fixture's vocabulary (the reference's
+# trends.yaml taxonomy targets paper abstracts; same operator shape)
+DOC_TAXONOMY: dict[str, list[str]] = {
+    "aggregation": ["agg", "group"],
+    "joins": ["join", "merge"],
+    "scans": ["scan", "table"],
+    "sorting": ["sort", "order"],
+    "streaming": ["stream", "window"],
+}
+
+KEYWORD_FILTERS = ["vector", "hash", "stream"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(c: str):
+    return F.col(c).cast("decimal(18,4)")
+
+
+def _sql_words(words: list[str]) -> str:
+    return r"\b(" + "|".join(re.escape(w) for w in words) + r")\b"
+
+
+def _stoplist_sql() -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in analytics.ALL_STOPWORDS)
+
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ===========================================================================
+# relational core (TPC-H-ish; SURVEY.md A1-A8, J1-J5, T1-T3, U1-U3, W2-W4)
+# ===========================================================================
+
+
+@q(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf_dir):
+    """TPC-H Q1 shape (A1/A2 partial+final agg; decimal-exact sums)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(
+                F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))), 2
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.sum(_dec("l_quantity")).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(_dec("l_discount")).cast("double") / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@q(
+    "q02_top_parts_by_revenue",
+    """
+    SELECT p.p_partkey, p.p_name, p.p_brand,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_partkey, p.p_name, p.p_brand
+    ORDER BY revenue DESC, p_partkey
+    LIMIT 20
+    """,
+)
+def q02(spark, sf_dir):
+    """Broadcast dim join + top-k (J1/T1): part is the small side."""
+    li, part = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name", "p_brand")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("p_partkey"))
+        .limit(20)
+    )
+
+
+@q(
+    "q03_region_revenue",
+    """
+    SELECT r.r_name, n.n_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY r_name, n_name
+    """,
+)
+def q03(spark, sf_dir):
+    """5-way star join (J4 multi-hop) — dims broadcast, fact shuffles once."""
+    c, n, r = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    o, li = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+@q(
+    "q04_order_priority_pivot",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS oyear,
+           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS urgent,
+           SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)::BIGINT AS high,
+           SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)::BIGINT AS medium,
+           SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)::BIGINT AS notspec,
+           SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)::BIGINT AS low,
+           COUNT(*) AS total,
+           ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS urgent_rate
+    FROM orders GROUP BY 1 ORDER BY oyear
+    """,
+)
+def q04(spark, sf_dir):
+    """Two-key count + pivot + derived ratio (A3/A4, trends.py:58-67)."""
+    o = _t(spark, sf_dir, "orders")
+    cnt = lambda v: F.sum(F.when(F.col("o_orderpriority") == v, 1).otherwise(0)).cast("long")
+    return (
+        o.groupBy(F.year("o_orderdate").cast("int").alias("oyear"))
+        .agg(
+            cnt("1-URGENT").alias("urgent"),
+            cnt("2-HIGH").alias("high"),
+            cnt("3-MEDIUM").alias("medium"),
+            cnt("4-NOT SPECIFIED").alias("notspec"),
+            cnt("5-LOW").alias("low"),
+            F.count("*").alias("total"),
+            F.round(
+                F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)) * 1.0 / F.count("*"), 6
+            ).alias("urgent_rate"),
+        )
+        .orderBy("oyear")
+    )
+
+
+@q(
+    "q05_customer_topk_window",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c.c_custkey ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey)
+    WHERE rn <= 3 ORDER BY c_custkey, rn
+    """,
+)
+def q05(spark, sf_dir):
+    """Per-key top-k window (W3 politeness shape on relational data)."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("c_custkey", "rn")
+    )
+
+
+@q(
+    "q06_customers_no_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def q06(spark, sf_dir):
+    """Anti join (J2/U2 — the reference's seen-set semantics)."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@q(
+    "q07_nations_union_dedup",
+    """
+    SELECT nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION SELECT s_nationkey AS nationkey FROM supplier)
+    ORDER BY nationkey
+    """,
+)
+def q07(spark, sf_dir):
+    """Union + dedup (U1/U3)."""
+    c, s = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .unionByName(s.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+        .orderBy("nationkey")
+    )
+
+
+@q(
+    "q08_events_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+    """,
+)
+def q08(spark, sf_dir):
+    """Tumbling time-window aggregation (streaming shape on batch; X6)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4).cast("double").alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+@q(
+    "q09_events_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events)
+    SELECT user_id,
+           SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
+           COUNT(*) AS n_events
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q09(spark, sf_dir):
+    """Sessionization: lag + gap>30min → session starts (stateful shape)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; session tz is UTC, so the LTZ cast is
+    # wall-clock-preserving and equals DuckDB's naive epoch_us
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    g = e.select("user_id", us.alias("us"), F.lag(us).over(w).alias("prev_us"))
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("prev_us").isNull() | (F.col("us") - F.col("prev_us") > 1_800_000_000), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ===========================================================================
+# webtext analytics over documents (P4/A5/A6/F5/W1 + training-data ops)
+# ===========================================================================
+
+
+@q(
+    "q10_doc_distribution",
+    """
+    SELECT lang, source, COUNT(*) AS cnt FROM documents
+    GROUP BY lang, source ORDER BY cnt DESC, lang, source
+    """,
+)
+def q10(spark, sf_dir):
+    """A5 distribution counter (search_service.py:219 most_common)."""
+    return analytics.distribution(_t(spark, sf_dir, "documents"), keys=("lang", "source"))
+
+
+@q(
+    "q11_keyword_filter",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE regexp_matches(lower(text), '{_sql_words(KEYWORD_FILTERS)}')
+    ORDER BY doc_id
+    """,
+)
+def q11(spark, sf_dir):
+    """P4 regex keyword filter (run_crawler.py:92-100)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.lower(F.col("text")).rlike(_sql_words(KEYWORD_FILTERS)))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "q12_word_frequency",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'), '\\s+')) AS word
+      FROM documents)
+    SELECT word, COUNT(*) AS cnt FROM toks
+    WHERE regexp_matches(word, '^\\p{{L}}+$') AND length(word) > 2
+      AND word NOT IN ({_stoplist_sql()})
+    GROUP BY word ORDER BY cnt DESC, word LIMIT 100
+    """,
+)
+def q12(spark, sf_dir):
+    """A6/U4 word frequency with stopword anti-join (analyzer.py:39-44)."""
+    return analytics.word_frequency(_t(spark, sf_dir, "documents"), text_cols=("text",), top_n=100)
+
+
+def _classify_oracle() -> str:
+    legs = [
+        f"SELECT '{name}' AS sub_field, COUNT(*) AS cnt FROM documents "
+        f"WHERE regexp_matches(lower(text), '{_sql_words(kws)}')"
+        for name, kws in DOC_TAXONOMY.items()
+    ]
+    return (
+        "SELECT sub_field, cnt FROM (" + " UNION ALL ".join(legs) + ") WHERE cnt > 0 ORDER BY sub_field"
+    )
+
+
+@q("q13_classify_explode", _classify_oracle())
+def q13(spark, sf_dir):
+    """F5/V1/W1/A1: multi-label classify → explode → count (trends.py:44-49)."""
+    d = _t(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    labels = [F.when(low.rlike(_sql_words(kws)), F.lit(name)) for name, kws in DOC_TAXONOMY.items()]
+    return (
+        d.withColumn("sub_fields", F.array_compact(F.array(*labels)))
+        .withColumn("sub_field", F.explode("sub_fields"))
+        .groupBy("sub_field")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("sub_field")
+    )
+
+
+@q(
+    "q14_exact_fingerprint_groups",
+    """
+    SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id FROM (
+      SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp FROM documents)
+    GROUP BY fp ORDER BY fp LIMIT 100
+    """,
+)
+def q14(spark, sf_dir):
+    """Exact-dedup fingerprint groups (hash-groupBy; dedup family 1)."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return (
+        d.withColumn("fp", F.md5(norm))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .orderBy("fp")
+        .limit(100)
+    )
+
+
+@q(
+    "q15_ngram_jaccard_pairs",
+    """
+    WITH d AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, length(t) - 3), i -> substr(t, i, 5)))) AS shingle
+           FROM d WHERE length(t) >= 5),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT doc_a, doc_b, ROUND(n_inter * 1.0 / (x.sz + y.sz - n_inter), 6) AS jaccard
+    FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+    WHERE n_inter * 1.0 / (x.sz + y.sz - n_inter) >= 0.35
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q15(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (dedup family 2)."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=5, threshold=0.35
+    )
+
+
+@q("q16_minhash_lsh_pairs")  # murmur3 minhash — not SQL-expressible; rows-only
+def q16(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (dedup family 3; shingle→minhash→
+    band→bucket-join). Deterministic (seeded permutations)."""
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=5, n_perm=64, bands=16, verify_threshold=0.35
+    )
+
+
+@q("q17_simhash_pairs")  # murmur3 simhash — rows-only
+def q17(spark, sf_dir):
+    """SimHash hamming≤3 near-dup pairs (dedup family 4)."""
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3)
+
+
+@q(
+    "q18_token_count",
+    """
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q18(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish pre-tokenizer regex."""
+    return textstats.token_count(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "ws_tokens", "bpe_tokens"
+    ).orderBy("doc_id")
+
+
+def _langid_oracle() -> str:
+    score = {
+        lang: f"len(regexp_extract_all(lower(text), '{_sql_words(ws)}'))"
+        for lang, ws in textstats.LANG_MARKERS.items()
+    }
+    inner = ", ".join(f"{expr} AS s_{l}" for l, expr in score.items())
+    m = "greatest(" + ", ".join(f"s_{l}" for l in textstats.LANG_MARKERS) + ")"
+    cases = " ".join(f"WHEN s_{l} = {m} THEN '{l}'" for l in textstats.LANG_MARKERS)
+    return f"""
+    WITH s AS (SELECT doc_id, {inner} FROM documents)
+    SELECT doc_id, CASE WHEN {m} = 0 THEN 'und' {cases} END AS lang_pred
+    FROM s ORDER BY doc_id
+    """
+
+
+@q("q19_lang_id", _langid_oracle())
+def q19(spark, sf_dir):
+    """Language-ID heuristic (marker-word argmax, first-wins ties)."""
+    return textstats.lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred").orderBy("doc_id")
+
+
+@q(
+    "q20_quality_score",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             length(text) AS n_chars_calc,
+             len(string_split_regex(trim(text), '\\s+')) AS n_words,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+             len(regexp_extract_all(lower(text), '{_sql_words(textstats.LANG_MARKERS["en"])}')) AS n_stop
+      FROM documents)
+    SELECT doc_id, n_chars_calc::BIGINT AS n_chars_calc, n_words::BIGINT AS n_words,
+           ROUND(CASE WHEN n_chars_calc > 0 THEN n_punct * 1.0 / n_chars_calc ELSE 0.0 END, 6) AS punct_ratio,
+           ROUND(CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0.0 END, 6) AS stop_ratio,
+           ROUND((CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN n_chars_calc > 0 AND n_punct * 1.0 / n_chars_calc > 0.0 AND n_punct * 1.0 / n_chars_calc < 0.2 THEN 0.3 ELSE 0.0 END)
+               + (CASE WHEN n_words > 0 AND n_stop * 1.0 / n_words > 0.05 THEN 0.3 ELSE 0.0 END), 2) AS quality
+    FROM s ORDER BY doc_id
+    """,
+)
+def q20(spark, sf_dir):
+    """Webtext quality heuristics (length/punct/stopword ratios)."""
+    return textstats.quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_chars_calc", "n_words", "punct_ratio", "stop_ratio", "quality"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "list_dot_product(e, qe) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe)))"
+)
+
+
+@q(
+    "q21_ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    s AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT vid, ROUND({_COS_SQL}, 6) AS similarity FROM s, q
+    ORDER BY similarity DESC, vid LIMIT 10
+    """,
+)
+def q21(spark, sf_dir):
+    """Brute-force exact cosine top-k (ANN baseline; T5)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ann.cosine_topk(emb, list(qvec), k=10)
+
+
+@q("q22_ann_lsh_topk")  # hyperplane signatures — rows-only (approximate path)
+def q22(spark, sf_dir):
+    """LSH-bucketed ANN (scale path): signature prune + exact re-rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ann.lsh_bucket_topk(emb, list(qvec), k=10, n_bits=12, probe_hamming=4)
+
+
+@q(
+    "q23_embedding_neardup",
+    f"""
+    WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM n a, n b WHERE a.vec_id < b.vec_id
+      AND list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+    ORDER BY id_a, id_b
+    """,
+)
+def q23(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (dedup family 5)."""
+    return dedup.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+@q(
+    "q24_semantic_search_joinback",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    s AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS e FROM embeddings),
+    topk AS (SELECT vid, ROUND({_COS_SQL}, 6) AS similarity FROM s, q
+             ORDER BY similarity DESC, vid LIMIT 10)
+    SELECT t.vid, t.similarity, d.lang, d.source, d.n_chars
+    FROM topk t JOIN documents d ON d.doc_id = t.vid
+    ORDER BY t.similarity DESC, t.vid
+    """,
+)
+def q24(spark, sf_dir):
+    """T5+J1: ANN top-k joined back to metadata, rank order preserved
+    (search_service.py:182-203)."""
+    emb, docs = _t(spark, sf_dir, "embeddings"), _t(spark, sf_dir, "documents")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ann.semantic_search(emb, docs.select("doc_id", "lang", "source", "n_chars"), list(qvec), k=10)
+
+
+@q(
+    "q25_keyword_search",
+    """
+    SELECT doc_id, lang, source,
+           ((CASE WHEN regexp_matches(text, '(?i)\\bstream\\b') THEN 1 ELSE 0 END)
+          + (CASE WHEN regexp_matches(source, '(?i)\\bstream\\b') THEN 1 ELSE 0 END)
+          + (CASE WHEN regexp_matches(text, '(?i)\\bsrc1\\b') THEN 1 ELSE 0 END)
+          + (CASE WHEN regexp_matches(source, '(?i)\\bsrc1\\b') THEN 1 ELSE 0 END)) AS score
+    FROM documents
+    WHERE (regexp_matches(text, '(?i)\\bstream\\b') OR regexp_matches(source, '(?i)\\bstream\\b'))
+      AND (regexp_matches(text, '(?i)\\bsrc1\\b') OR regexp_matches(source, '(?i)\\bsrc1\\b'))
+    ORDER BY score DESC, doc_id
+    """,
+)
+def q25(spark, sf_dir):
+    """V4/W2: field-scoped keyword query compiler + rank scoring
+    (search_service.py:118-170). Query: 'stream src1'."""
+    d = _t(spark, sf_dir, "documents")
+    out = search.keyword_search(d, "stream src1", ["text", "source"], "doc_id")
+    return out.select("doc_id", "lang", "source", F.col("score").cast("int").alias("score")).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+# ===========================================================================
+# frontier operators (oracle-checked where ANSI-SQL can express them)
+# ===========================================================================
+
+
+@q(
+    "q26_politeness_schedule",
+    """
+    WITH f AS (
+      SELECT concat('https://host', user_id % 50, '.example.org/page', event_id, '.html') AS url_canon,
+             concat('host', user_id % 50, '.example.org') AS host,
+             value AS priority, 0 AS depth, event_id AS seq
+      FROM events),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority DESC, depth, seq) AS rn FROM f),
+    p AS (SELECT * FROM r WHERE rn <= 5)
+    SELECT (ROW_NUMBER() OVER (ORDER BY priority DESC, depth, seq) - 1)::BIGINT AS seq,
+           url_canon, host, priority
+    FROM p ORDER BY seq
+    """,
+)
+def q26(spark, sf_dir):
+    """W3/W4 politeness scheduler under a SQL oracle: per-host top-5 by
+    (priority desc, depth, seq) + deterministic global sequence. The
+    Spark side runs the REAL engine path (canonicalize UDF + salted
+    two-pass window)."""
+    from pubcrawler_spark.functions.urltools import with_canonical_url
+
+    e = _t(spark, sf_dir, "events")
+    frontier = with_canonical_url(
+        e.select(
+            F.concat(
+                F.lit("https://host"), (F.col("user_id") % 50).cast("string"),
+                F.lit(".example.org/page"), F.col("event_id").cast("string"), F.lit(".html"),
+            ).alias("url"),
+            F.col("value").alias("priority"),
+            F.lit(0).alias("depth"),
+            F.col("event_id").alias("seq"),
+        )
+    )
+    out = sched.pick_schedule(frontier, host_budget=5, iteration=0, salt_rows=200)
+    return out.select("seq", "url_canon", "host", "priority").orderBy("seq")
+
+
+@q(
+    "q27_url_canonicalize",
+    """
+    SELECT concat('HTTPS://Host', user_id % 50, '.Example.ORG:443/p/./', event_id,
+                  '/x/../page.html?utm_source=feed&b=', event_id % 7, '&a=1#frag') AS url,
+           concat('https://host', user_id % 50, '.example.org/p/', event_id,
+                  '/page.html?a=1&b=', event_id % 7) AS url_canon,
+           concat('host', user_id % 50, '.example.org') AS host
+    FROM events ORDER BY url
+    """,
+)
+def q27(spark, sf_dir):
+    """P8/V6 canonicalizer under a SQL oracle: scheme/host lowercase,
+    default-port strip, dot-segment resolution, tracking-param removal,
+    query sort, fragment strip — expected output constructed by the SQL."""
+    from pubcrawler_spark.functions.urltools import with_canonical_url
+
+    e = _t(spark, sf_dir, "events")
+    messy = e.select(
+        F.concat(
+            F.lit("HTTPS://Host"), (F.col("user_id") % 50).cast("string"),
+            F.lit(".Example.ORG:443/p/./"), F.col("event_id").cast("string"),
+            F.lit("/x/../page.html?utm_source=feed&b="), (F.col("event_id") % 7).cast("string"),
+            F.lit("&a=1#frag"),
+        ).alias("url")
+    )
+    return with_canonical_url(messy).select("url", "url_canon", "host").orderBy("url")
+
+
+@q(
+    "q28_seen_antijoin",
+    """
+    SELECT event_id AS url_hash FROM events
+    WHERE event_id % 2 = 0
+      AND event_id NOT IN (SELECT event_id FROM events WHERE event_id % 3 = 0)
+    ORDER BY url_hash
+    """,
+)
+def q28(spark, sf_dir):
+    """J2 URL-seen exact anti-join under a SQL oracle."""
+    e = _t(spark, sf_dir, "events")
+    cand = e.filter(F.col("event_id") % 2 == 0).select(F.col("event_id").alias("url_hash"))
+    seen = e.filter(F.col("event_id") % 3 == 0).select(F.col("event_id").alias("url_hash"))
+    return filter_unseen_exact(cand, seen).orderBy("url_hash")
+
+
+@q("q29_parse_extract")  # HTML binary parsing — rows-only (pytest covers byte parity)
+def q29(spark, sf_dir):
+    """P1/V3 batch HTML extraction on the deterministic pages fixture."""
+    from pubcrawler_spark.fixtures import YEAR, generate_pages, pages_spark_df
+    from pubcrawler_spark.operators.parse import parse_pages
+
+    fx = generate_pages(150)
+    pages = pages_spark_df(spark, fx)
+    parsed = parse_pages(pages, YEAR)
+    return (
+        parsed.filter(F.col("parsed.id").isNotNull())
+        .select("parsed.id", "parsed.title", "parsed.authors", "parsed.abstract",
+                "parsed.pdf_url", "parsed.source_url", "parsed.text")
+        .orderBy("source_url")
+    )
+
+
+@q("q30_crawl_schedule_e2e")  # full iterative crawl — rows-only (pytest: mirror parity)
+def q30(spark, sf_dir):
+    """End-to-end frontier loop (2 iterations, deterministic fixture):
+    returns the fetch schedule. Pytest asserts mirror parity; here the
+    driver records rows+schema stability."""
+    import tempfile
+
+    from pubcrawler_spark.fixtures import YEAR, generate_pages, pages_spark_df, robots_spark_df
+    from pubcrawler_spark.plans.frontier import CrawlEngine
+
+    fx = generate_pages(150)
+    ck = tempfile.mkdtemp(prefix="q30_ck_")
+    eng = CrawlEngine(
+        spark, pages_spark_df(spark, fx), robots_spark_df(spark, fx), fx.seeds,
+        checkpoint_dir=ck, year=YEAR, host_budget=5,
+    )
+    eng.run(max_iterations=2)
+    return eng.full_schedule().select("iteration", "seq", "url_canon", "host").orderBy("iteration", "seq")

@@ -1,0 +1,66 @@
+"""Structured Streaming surface (SURVEY.md §2.10).
+
+The reference has no streaming — its analogs are iterative/incremental
+batch (X1-X4), which the frontier engine models as checkpointed
+iterations. This module provides the genuinely-streaming shapes a
+web-scale ingest would add on top:
+
+- :func:`incremental_page_ingest` — ``readStream`` over a pages
+  directory (new parquet files = newly fetched WARC batches) →
+  canonicalize → watermarked dedup by url_hash → sink. The streaming
+  twin of the batch seen-set.
+- :func:`windowed_host_rates` — tumbling-window per-host fetch-rate
+  aggregation with late-data watermark (politeness monitoring).
+
+Tested with the file source + ``availableNow`` trigger so tests are
+hermetic and deterministic (no rate source wall-clock).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pubcrawler_spark.functions.urltools import with_canonical_url
+
+
+def incremental_page_ingest(
+    spark: SparkSession, input_dir: str, schema: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming canonicalize + in-window exact dedup by url_hash.
+
+    ``dropDuplicatesWithinWatermark`` keeps state bounded: at 10^10-URL
+    scale the watermark bounds the state store to the late-data horizon
+    while the batch bloom seen-set handles the full history.
+    """
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    canon = with_canonical_url(stream)
+    return canon.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url_hash"]
+    )
+
+
+def windowed_host_rates(
+    pages_stream: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Per-host tumbling-window fetch counts (politeness monitoring)."""
+    canon = with_canonical_url(pages_stream)
+    return (
+        canon.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), "host")
+        .agg(F.count("*").alias("n_fetched"))
+        .select(F.col("win.start").alias("window_start"), "host", "n_fetched")
+    )
+
+
+def run_available_now(stream_df: DataFrame, checkpoint: str, out_dir: str, mode: str = "append"):
+    """Drain everything currently available, then stop (deterministic)."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

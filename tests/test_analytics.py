@@ -1,0 +1,133 @@
+"""Reference-semantics tests for the analytics layer (SURVEY.md §2.4/§2.5):
+Spark results vs a pandas mirror of trends.py/analyzer.py on a synthetic
+papers fixture (FIXTURES.md §3 shape)."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pytest
+
+from pubcrawler_spark.operators import analytics
+
+DECISIONS = ["Oral", "Spotlight", "Poster", "Reject", "N/A"]
+
+
+@pytest.fixture(scope="module")
+def papers(spark):
+    rng = np.random.default_rng(42)
+    kws = ["diffusion model", "rlhf", "graph neural network", "vision transformer",
+           "reasoning", "federated learning", "time series", "transformer"]
+    rows = []
+    for i in range(400):
+        k1, k2 = rng.choice(len(kws), 2, replace=False)
+        title = f"A study of {kws[k1]} methods"
+        abstract = (
+            "N/A (摘要需访问详情页)" if rng.random() < 0.08
+            else f"We explore {kws[k2]} and {kws[k1]} at scale."
+        )
+        decision = DECISIONS[int(rng.choice(5, p=[0.10, 0.15, 0.45, 0.25, 0.05]))]
+        ratings = rng.integers(1, 11, size=int(rng.integers(2, 6)))
+        rows.append(
+            (title, "Alice Chen, Bob Li", abstract, f"https://x.org/{i}.pdf",
+             f"https://x.org/{i}", str(i), 2022 + i % 4,
+             ["ICLR", "NeurIPS", "ICML"][i % 3], decision,
+             round(float(np.mean(ratings)), 2), [int(r) for r in ratings])
+        )
+    df = spark.createDataFrame(
+        rows,
+        "title string, authors string, abstract string, pdf_url string, "
+        "source_url string, id string, year int, conference string, "
+        "decision string, avg_rating double, review_ratings array<int>",
+    )
+    return df, rows
+
+
+def _mirror_classify(title, abstract):
+    """trends.py:28-40 mirror."""
+    text = f"{title} {abstract}".lower()
+    out = set()
+    for name, kws in analytics.TREND_TAXONOMY.items():
+        pat = r"\b(" + "|".join(re.escape(k) for k in kws) + r")\b"
+        if re.search(pat, text, re.IGNORECASE):
+            out.add(name)
+    return out
+
+
+def test_classify_matches_reference_mirror(spark, papers):
+    df, rows = papers
+    got = {
+        r["id"]: set(r["sub_fields"])
+        for r in analytics.classify_subfields(df).select("id", "sub_fields").collect()
+    }
+    for row in rows:
+        want = _mirror_classify(row[0], row[2])
+        assert got[row[5]] == want, (row[0], row[2], got[row[5]], want)
+
+
+def test_topic_stats_matches_pandas_mirror(spark, papers):
+    import pandas as pd
+
+    df, rows = papers
+    exploded = analytics.explode_subfields(analytics.classify_subfields(df))
+    got = {r["topic_name"]: r.asDict() for r in analytics.topic_stats(exploded).collect()}
+
+    pdf = pd.DataFrame(rows, columns=[
+        "title", "authors", "abstract", "pdf_url", "source_url", "id",
+        "year", "conference", "decision", "avg_rating", "review_ratings"])
+    pdf["sub_fields"] = [
+        list(_mirror_classify(t, a)) for t, a in zip(pdf["title"], pdf["abstract"])
+    ]
+    ex = pdf.explode("sub_fields").dropna(subset=["sub_fields"])
+    want_counts = ex.groupby("sub_fields").size()
+    want_means = ex.groupby("sub_fields")["avg_rating"].mean()
+    dec = ex.groupby(["sub_fields", "decision"]).size().unstack(fill_value=0)
+    for d in DECISIONS:
+        if d not in dec.columns:
+            dec[d] = 0
+    accepted = dec["Oral"] + dec["Spotlight"] + dec["Poster"]
+    total = accepted + dec["Reject"]
+    want_rate = (accepted / total.where(total != 0, np.nan)).fillna(0)
+
+    assert set(got) == set(want_counts.index)
+    for topic in want_counts.index:
+        g = got[topic]
+        assert g["paper_count"] == want_counts[topic]
+        assert abs(g["avg_rating"] - want_means[topic]) < 1e-9
+        for d in DECISIONS:
+            assert g[analytics._dcol(d)] == dec.loc[topic, d]
+        assert abs(g["acceptance_rate"] - want_rate[topic]) < 1e-9
+
+
+def test_keyword_filter_matches_reference(spark, papers):
+    df, rows = papers
+    filters = ["rlhf", "diffusion model"]
+    got = {r["id"] for r in analytics.keyword_filter(df, filters).select("id").collect()}
+    # run_crawler.py:92-100 mirror
+    pat = re.compile("|".join(filters), re.IGNORECASE)
+    want = {row[5] for row in rows if pat.search(f"{row[0]} {row[2]}")}
+    assert got == want
+
+
+def test_word_frequency_matches_reference(spark, papers):
+    from collections import Counter
+
+    df, rows = papers
+    got = {(r["word"], r["cnt"]) for r in analytics.word_frequency(df).collect()}
+    # analyzer.py:39-44 mirror
+    full = " ".join(f"{r[0]} {r[2]}" for r in rows)
+    toks = re.sub(r"[^\w\s]", "", full.lower()).split()
+    stop = set(analytics.ALL_STOPWORDS)
+    counts = Counter(
+        w for w in toks if w.isalpha() and len(w) > 2 and w not in stop
+    )
+    assert got == set(counts.items())
+
+
+def test_distribution_most_common_order(spark, papers):
+    df, _ = papers
+    rows = analytics.distribution(df).collect()
+    counts = [r["cnt"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert sum(counts) == 400

@@ -1,0 +1,152 @@
+"""Dedup + search + ANN + multimodal + streaming operator tests on
+fixtures with planted ground truth."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pubcrawler_spark.operators import ann, dedup, multimodal, search
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """60 docs: 3 exact-dup groups, 3 planted near-dup pairs, rest random."""
+    rng = np.random.default_rng(42)
+    vocab = ["spark", "query", "table", "join", "scan", "filter", "merge",
+             "stream", "window", "batch", "vector", "hash", "sort", "group"]
+    rows = []
+    for i in range(50):
+        words = [vocab[int(rng.integers(len(vocab)))] for _ in range(40)]
+        rows.append((i, " ".join(words)))
+    # exact dups (normalized): 50/51 differ only in whitespace/case
+    rows.append((50, rows[0][1].upper()))
+    rows.append((51, "  " + rows[1][1].replace(" ", "  ") + " "))
+    # near dups: copy with one word changed
+    for j, base in enumerate([2, 3, 4]):
+        w = rows[base][1].split()
+        w[5] = "changed"
+        rows.append((52 + j, " ".join(w)))
+    return spark.createDataFrame(rows, "doc_id long, text string"), rows
+
+
+def test_exact_dup_groups(spark, docs):
+    df, rows = docs
+    got = {(r["keep_id"], r["n_dups"]) for r in dedup.exact_dup_groups(df, "doc_id").collect()}
+    assert (0, 2) in got and (1, 2) in got
+    assert len(got) == 2
+
+
+def test_ngram_jaccard_finds_planted_pairs(spark, docs):
+    df, _ = docs
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             dedup.ngram_jaccard_pairs(df, "doc_id", threshold=0.8).collect()}
+    for base, dup in [(2, 52), (3, 53), (4, 54)]:
+        assert (base, dup) in pairs, pairs
+    # exact dups after normalization have jaccard 1.0
+    assert (0, 50) in pairs and (1, 51) in pairs
+
+
+def test_minhash_lsh_finds_planted_pairs(spark, docs):
+    df, _ = docs
+    got = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in
+           dedup.minhash_lsh_pairs(df, "doc_id", verify_threshold=0.5).collect()}
+    for pair in [(0, 50), (1, 51), (2, 52), (3, 53), (4, 54)]:
+        assert pair in got, (pair, sorted(got))
+        assert got[pair] >= 0.5
+
+
+def test_simhash_finds_exact_dups(spark, docs):
+    df, _ = docs
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             dedup.simhash_pairs(df, "doc_id", max_hamming=6).collect()}
+    assert (0, 50) in pairs and (1, 51) in pairs  # hamming 0 after norm...
+
+
+def test_embedding_neardup_and_topk(spark):
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    base[7] = base[3] + rng.standard_normal(16).astype(np.float32) * 0.01  # planted near-dup
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dedup.embedding_neardup_pairs(df, threshold=0.95).collect()}
+    assert pairs == {(3, 7)}
+
+    # brute-force top-k matches numpy oracle
+    q = [float(x) for x in base[3]]
+    got = [r["vid"] for r in ann.cosine_topk(df, q, k=5).collect()]
+    m = base.astype(np.float64)
+    sims = (m @ np.array(q)) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    want = list(np.lexsort((np.arange(20), -np.round(sims, 6)))[:5])
+    assert got == [int(w) for w in want]
+    assert got[0] == 3 and got[1] == 7
+
+    # pandas variant agrees on membership and order
+    got_pd = [r["vid"] for r in ann.cosine_topk_pandas(df, q, k=5).collect()]
+    assert got_pd == got
+
+    # LSH path: top result must include the true nearest neighbors
+    got_lsh = [r["vid"] for r in ann.lsh_bucket_topk(df, q, k=3, n_bits=8, probe_hamming=4).collect()]
+    assert got_lsh[0] == 3
+
+
+def test_keyword_search_compiler(spark, docs):
+    df, rows = docs
+    df2 = df.withColumn("source", F.concat(F.lit("src"), (F.col("doc_id") % 3).cast("string")))
+    out = search.keyword_search(df2, 'source:src1 "spark"', ["text"], "doc_id").collect()
+    assert out, "query should match something"
+    for r in out:
+        assert r["source"] == "src1"
+        assert " spark" in " " + r["text"]
+    # field-scoped phrase + general term parse
+    fields, general = search.parse_query('author:"john smith" title:bert attention')
+    assert fields == [("authors", "john smith"), ("title", "bert")]
+    assert general == ["attention"]
+
+
+def test_multimodal_plumbing(spark):
+    rows = multimodal.media_fixture_rows(48)
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(df).collect()
+    assert len(feats) == 48
+    by_id = {r["media_id"]: r for r in feats}
+    assert all(r["decode_ok"] for r in feats)
+    assert all(len(r["feat"]) == 8 for r in feats)
+    # deterministic: same payload → same feature
+    again = {r["media_id"]: r["feat"] for r in multimodal.extract_features(df).collect()}
+    assert all(again[i] == by_id[i]["feat"] for i in by_id)
+    # real decode path is stubbed
+    with pytest.raises(multimodal.DecodeUnavailable):
+        multimodal.real_decode(b"x", "image/png")
+
+
+def test_streaming_ingest_and_rates(spark, tmp_path):
+    from pubcrawler_spark.fixtures import PAGES_DDL, generate_pages, pages_spark_df
+    from pubcrawler_spark.streaming import micro
+
+    fx = generate_pages(120)
+    src = str(tmp_path / "in")
+    pages_spark_df(spark, fx).write.parquet(src)
+
+    dedup_stream = micro.incremental_page_ingest(spark, src, PAGES_DDL)
+    out1 = str(tmp_path / "out1")
+    micro.run_available_now(dedup_stream, str(tmp_path / "ck1"), out1)
+    got = spark.read.parquet(out1)
+    n_unique = (
+        pages_spark_df(spark, fx).count()
+    )
+    assert got.select("url_hash").distinct().count() == got.count()
+    assert got.count() <= n_unique
+
+    rates = micro.windowed_host_rates(
+        spark.readStream.schema(PAGES_DDL).parquet(src)
+    )
+    out2 = str(tmp_path / "out2")
+    micro.run_available_now(rates, str(tmp_path / "ck2"), out2)
+    r = spark.read.parquet(out2)
+    assert r.count() > 0
+    assert set(r.columns) == {"window_start", "host", "n_fetched"}
