@@ -31,9 +31,9 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "60000"))
-BENCH_ITERATIONS = 3
-BENCH_BUDGET = 40
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "100000"))
+BENCH_ITERATIONS = 3  # steady-state iterations (after the seed warmup)
+BENCH_BUDGET = 400
 
 HEADLINE_QUERIES = [
     "q01_pricing_summary",
@@ -79,7 +79,7 @@ def _bench_fixture_dir(n_pages: int) -> str:
     return out
 
 
-def run_frontier_bench(spark, n_pages: int) -> dict:
+def run_frontier_bench(spark, n_pages: int, budget: int = BENCH_BUDGET) -> dict:
     """North-star metric: scheduled+parsed URLs/sec over the frontier
     loop (canonicalize → seen → robots → schedule → fetch-join → parse
     → checkpoint), steady-state iterations on the Iceberg-stand-in."""
@@ -95,12 +95,16 @@ def run_frontier_bench(spark, n_pages: int) -> dict:
     ck = tempfile.mkdtemp(prefix="bench_ck_")
     engine = CrawlEngine(
         spark, pages, robots, meta["seeds"], checkpoint_dir=ck, year=YEAR,
-        host_budget=BENCH_BUDGET, seen_mode="bloom", detailed_metrics=False,
+        host_budget=budget, seen_mode="bloom", detailed_metrics=False,
     )
-    # warm the pages cache + JVM outside the timed section
+    # warm the pages cache + JVM, and run the seed iteration (≈ one row
+    # per host) outside the timed section: the metric is steady-state
+    # URLs/sec, and iteration 0 is dominated by JVM/Arrow warmup
+    # (SURVEY.md §7.4: "measure only steady-state iterations")
     engine.pages.count()
+    engine.run(max_iterations=1)
     t0 = time.monotonic()
-    totals = engine.run(max_iterations=BENCH_ITERATIONS)
+    totals = engine.run(max_iterations=1 + BENCH_ITERATIONS, resume=True)
     wall = time.monotonic() - t0
     shutil.rmtree(ck, ignore_errors=True)
     urls = totals["scheduled"] + totals["parsed"]
@@ -131,11 +135,12 @@ def main() -> None:
     ap.add_argument("--frontier-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--pages", type=int, default=BENCH_PAGES)
+    ap.add_argument("--budget", type=int, default=BENCH_BUDGET)
     ap.add_argument("--scaling", action="store_true")
     args = ap.parse_args()
 
     if args.scaling:
-        return run_scaling(args.pages)
+        return run_scaling(args.pages, args.budget)
 
     cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count()))
     from pubcrawler_spark.session import get_spark
@@ -143,7 +148,7 @@ def main() -> None:
     spark = get_spark("pubcrawler-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    frontier = run_frontier_bench(spark, args.pages)
+    frontier = run_frontier_bench(spark, args.pages, args.budget)
     result = {
         "metric": "frontier scheduled+parsed URLs/sec (canonicalize→bloom-seen→robots→politeness-schedule→fetch-join→parse→checkpoint)",
         "value": frontier["frontier_wall_sec"],
@@ -159,14 +164,14 @@ def main() -> None:
     spark.stop()
 
 
-def run_scaling(n_pages: int) -> None:
+def run_scaling(n_pages: int, budget: int = BENCH_BUDGET) -> None:
     """North-rule evidence: same job, same input, two parallelism levels
     (the sandbox stand-in for N vs 4N executors)."""
     _bench_fixture_dir(n_pages)  # materialize once
     results = {}
     for cpus in (8, 32):
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--frontier-only", "--cpus", str(cpus), "--pages", str(n_pages)],
+            [sys.executable, os.path.abspath(__file__), "--frontier-only", "--cpus", str(cpus), "--pages", str(n_pages), "--budget", str(budget)],
             capture_output=True, text=True, check=True, cwd=REPO,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
@@ -188,7 +193,7 @@ def run_scaling(n_pages: int) -> None:
         fh.write(
             "# BENCH/BASELINE.md — scaling evidence (north rule)\n\n"
             "Same frontier job, identical fixture input "
-            f"({n_pages} pages, {BENCH_ITERATIONS} iterations, host budget {BENCH_BUDGET}, bloom seen-set), "
+            f"({n_pages} pages, {BENCH_ITERATIONS} steady-state iterations, host budget {budget}, incremental bloom seen-set), "
             "run at two parallelism levels as the sandbox stand-in for N vs 4N executors "
             "(BASELINE.json north_rule; driver instruction).\n\n"
             "| parallelism | scheduled+parsed URLs/sec | wall sec |\n|---|---|---|\n"

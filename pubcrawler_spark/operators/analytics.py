@@ -146,10 +146,12 @@ def word_frequency(
     count. Stopword set is anti-joined (broadcast)."""
     spark = df.sparkSession
     text = F.concat_ws(" ", *[F.coalesce(F.col(c), F.lit("")) for c in text_cols])
+    # [^\p{L}\p{N}_\s] ≙ Python's unicode [^\w\s] (analyzer.py:42);
+    # Java/RE2 \w is ASCII-only and would strip CJK text entirely
     tokens = (
         df.select(
             F.explode(
-                F.split(F.regexp_replace(F.lower(text), r"[^\w\s]", ""), r"\s+")
+                F.split(F.regexp_replace(F.lower(text), r"[^\p{L}\p{N}_\s]", ""), r"\s+")
             ).alias("word")
         )
         # \p{L}+ ≙ the reference's unicode-aware str.isalpha()

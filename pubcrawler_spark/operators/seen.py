@@ -27,6 +27,7 @@ filter instead:
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -88,6 +89,113 @@ def bloom_probe_bytes(blob: bytes, hashes: np.ndarray, n_bits: int, n_hashes: in
     pos = _positions(hashes, n_bits, n_hashes)
     hit = (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
     return hit.all(axis=0)
+
+
+class BloomShards:
+    """Incremental sharded bloom filter — the ``seen_shards`` state table.
+
+    Fixed-capacity shards (n_bits sized once from ``capacity``/``fpp``)
+    so per-iteration updates are pure bitwise OR — no rebuild over the
+    full seen set (rebuilds made the seen update O(total·iterations)).
+    Blobs live as binary rows in the checkpoint; the probe broadcasts
+    them (n_shards × n_bits/8 bytes). At 10^10 URLs you raise n_shards
+    so each blob stays broadcastable, or chain filters (scalable bloom)
+    — both are config, not code changes.
+
+    No false negatives ever (bits are only set, never cleared); FPP
+    degrades gracefully past capacity and is measured in tests.
+    """
+
+    def __init__(self, n_shards: int, n_bits: int, n_hashes: int, blobs: dict[int, np.ndarray] | None = None):
+        self.n_shards = n_shards
+        self.n_bits = n_bits
+        self.n_hashes = n_hashes
+        self.blobs: dict[int, np.ndarray] = blobs or {}
+        self.n_items: dict[int, int] = {}
+
+    @classmethod
+    def sized(cls, capacity: int, fpp: float = 0.01, n_shards: int = 32) -> "BloomShards":
+        n_bits, n_hashes = _bloom_params(max(1, capacity // n_shards), fpp)
+        return cls(n_shards, n_bits, n_hashes)
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        """OR the hashes into their shards (numpy; driver-side for small
+        deltas — the distributed twin is build_bloom_shards + OR merge)."""
+        if len(hashes) == 0:
+            return
+        shard = np.mod(hashes, self.n_shards)
+        for sid in np.unique(shard):
+            h = hashes[shard == sid]
+            blob = self.blobs.get(int(sid))
+            if blob is None:
+                blob = np.zeros(self.n_bits // 8, dtype=np.uint8)
+                self.blobs[int(sid)] = blob
+            pos = _positions(h, self.n_bits, self.n_hashes)
+            np.bitwise_or.at(blob, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+            self.n_items[int(sid)] = self.n_items.get(int(sid), 0) + len(h)
+
+    def filter_unseen(self, candidates: DataFrame) -> DataFrame:
+        """mapInPandas probe against broadcast blobs (no shuffle)."""
+        spark = candidates.sparkSession
+        bc = spark.sparkContext.broadcast(
+            {sid: b.tobytes() for sid, b in self.blobs.items()}
+        )
+        n_shards, n_bits, n_hashes = self.n_shards, self.n_bits, self.n_hashes
+        schema = candidates.schema
+
+        def _probe(it):
+            shards = bc.value
+            for pdf in it:
+                if not len(pdf):
+                    yield pdf
+                    continue
+                h = pdf["url_hash"].to_numpy(dtype=np.int64)
+                shard = np.mod(h, n_shards)
+                keep = np.ones(len(pdf), dtype=bool)
+                for sid in np.unique(shard):
+                    blob = shards.get(int(sid))
+                    if blob is None:
+                        continue
+                    mask = shard == sid
+                    keep[mask] = ~bloom_probe_bytes(blob, h[mask], n_bits, n_hashes)
+                yield pdf[keep]
+
+        return candidates.mapInPandas(_probe, schema=schema)
+
+    # -- checkpoint (pyarrow; no Spark job) ---------------------------------
+
+    def write(self, path: str) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(path, exist_ok=True)
+        sids = sorted(self.blobs)
+        tbl = pa.table(
+            {
+                "shard_id": pa.array(sids, pa.int32()),
+                "bloom_bytes": pa.array([self.blobs[s].tobytes() for s in sids], pa.binary()),
+                "n_items": pa.array([self.n_items.get(s, 0) for s in sids], pa.int64()),
+                "n_bits": pa.array([self.n_bits] * len(sids), pa.int64()),
+                "n_hashes": pa.array([self.n_hashes] * len(sids), pa.int32()),
+                "n_shards": pa.array([self.n_shards] * len(sids), pa.int32()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(path, "part-00000-shards.parquet"))
+
+    @classmethod
+    def read(cls, path: str) -> "BloomShards":
+        import pyarrow.parquet as pq
+
+        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        tbl = pq.read_table(os.path.join(path, files[0]))
+        d = tbl.to_pydict()
+        if not d["shard_id"]:
+            raise ValueError(f"empty seen_shards at {path}")
+        out = cls(int(d["n_shards"][0]), int(d["n_bits"][0]), int(d["n_hashes"][0]))
+        for sid, blob, n in zip(d["shard_id"], d["bloom_bytes"], d["n_items"]):
+            out.blobs[int(sid)] = np.frombuffer(blob, dtype=np.uint8).copy()
+            out.n_items[int(sid)] = int(n)
+        return out
 
 
 def build_bloom_shards(

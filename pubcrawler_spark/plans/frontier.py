@@ -48,6 +48,7 @@ import os
 import shutil
 import time
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pubcrawler_spark.functions.urltools import with_canonical_url
@@ -87,6 +88,26 @@ def _col_null_count(path: str, col: str, invert: bool = False) -> int:
                 if c.path_in_schema == col and c.statistics is not None:
                     total += c.statistics.null_count or 0
     return total
+
+
+def _read_col(path: str, col: str, mask_col: str | None = None, mask_value=None) -> np.ndarray:
+    """Read one column from a parquet dir driver-side (pyarrow; no Spark
+    job). Used for small per-iteration deltas — the distributed twin for
+    huge deltas is seen.build_bloom_shards + OR-merge."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    arrays = []
+    for f in _parquet_files(path):
+        cols = [col] + ([mask_col] if mask_col else [])
+        t = pq.read_table(f, columns=cols)
+        a = t.column(col)
+        if mask_col is not None:
+            a = pc.filter(a, pc.equal(t.column(mask_col), mask_value))
+        arrays.append(a.to_numpy(zero_copy_only=False))
+    if not arrays:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(arrays)
 
 
 def _col_sum_false(path: str, col: str) -> int:
@@ -132,6 +153,7 @@ class CrawlEngine:
         n_bloom_shards: int = 32,
         salt_rows: int = 50_000,
         detailed_metrics: bool = True,
+        expected_urls: int = 2_000_000,
     ) -> None:
         self.spark = spark
         self.year = year
@@ -140,8 +162,10 @@ class CrawlEngine:
         self.n_bloom_shards = n_bloom_shards
         self.salt_rows = salt_rows
         self.detailed_metrics = detailed_metrics
+        self.expected_urls = expected_urls
         self.ckpt = checkpoint_dir
         self.seeds = seeds
+        self._shards: seen_mod.BloomShards | None = None
         self.robots_rules = sched.parse_robots_rules(robots).cache()
         # fetch-side corpus: canonical url is the join key (J5). At real
         # scale `pages` is the Iceberg corpus partitioned by
@@ -180,6 +204,17 @@ class CrawlEngine:
             start = done[-1] + 1
             frontier = self._read(done[-1], "frontier")
             seen = self._read(done[-1], "seen")
+            if self.seen_mode == "bloom":
+                shard_dir = os.path.join(self._iter_dir(done[-1]), "seen_shards")
+                if os.path.isdir(shard_dir):
+                    self._shards = seen_mod.BloomShards.read(shard_dir)
+                else:  # legacy checkpoint: rebuild from the exact table
+                    self._shards = seen_mod.BloomShards.sized(
+                        self.expected_urls, n_shards=self.n_bloom_shards
+                    )
+                    self._shards.add_hashes(
+                        _read_col(os.path.join(self._iter_dir(done[-1]), "seen"), "url_hash").astype(np.int64)
+                    )
         else:
             if os.path.exists(self.ckpt):
                 shutil.rmtree(self.ckpt)
@@ -187,6 +222,10 @@ class CrawlEngine:
             start = 0
             frontier = self._initial_frontier()
             seen = self.spark.createDataFrame([], seen_mod.SEEN_SCHEMA)
+            if self.seen_mode == "bloom":
+                self._shards = seen_mod.BloomShards.sized(
+                    self.expected_urls, n_shards=self.n_bloom_shards
+                )
 
         totals = {"scheduled": 0, "parsed": 0, "iterations": 0}
         for k in range(start, max_iterations):
@@ -215,9 +254,11 @@ class CrawlEngine:
             return self.spark.read.parquet(os.path.join(tmp, name))
 
         cand = sched.dedup_candidates(frontier)
-        if self.seen_mode == "bloom" and not seen.isEmpty():
-            shards = seen_mod.build_bloom_shards(seen, self.n_bloom_shards)
-            unseen = seen_mod.filter_unseen_bloom(cand, shards, self.n_bloom_shards)
+        if self.seen_mode == "bloom":
+            # incremental shards: probe only (empty filter passes all)
+            unseen = (
+                self._shards.filter_unseen(cand) if self._shards.blobs else cand
+            )
         else:
             unseen = seen_mod.filter_unseen_exact(cand, seen)
 
@@ -262,9 +303,13 @@ class CrawlEngine:
         pl_rb = _rb("parsed_links")
         n_parsed = n_sched - _col_null_count(pl_path, "id")
 
-        # JOB 3: next frontier = budget-deferred leftovers ∪ new links
+        # JOB 3: next frontier = budget-deferred leftovers ∪ new links.
+        # Child discovery seq = parent GLOBAL schedule seq × 100k + link
+        # position: bounded (global seq resets each iteration, unlike the
+        # raw discovery seq whose product chain overflows int64 at depth
+        # ≥3) and semantically the submission order of the parent.
         links = pl_rb.select(
-            "priority", "depth", "disc_seq",
+            "priority", "depth", "seq",
             F.posexplode_outer("links").alias("pos", "url"),
         ).filter(F.col("url").isNotNull())
         new_frontier = with_canonical_url(
@@ -272,7 +317,7 @@ class CrawlEngine:
                 "url",
                 (F.col("priority") * 0.5).alias("priority"),
                 (F.col("depth") + 1).alias("depth"),
-                (F.col("disc_seq") * 100_000 + F.col("pos")).alias("seq"),
+                (F.col("seq") * 100_000 + F.col("pos")).alias("seq"),
             )
         ).select(*_frontier_cols())
         leftover = allowed_rb.join(
@@ -288,6 +333,17 @@ class CrawlEngine:
             .dropDuplicates(["url_hash"]),
             "seen",
         )
+        if self.seen_mode == "bloom":
+            # incremental shard update: OR this iteration's delta into the
+            # fixed-capacity blobs (pyarrow column read + numpy; no job)
+            delta = np.concatenate(
+                [
+                    _read_col(pl_path, "url_hash"),
+                    _read_col(cand_path, "url_hash", "robots_ok", False),
+                ]
+            ).astype(np.int64)
+            self._shards.add_hashes(delta)
+            self._shards.write(os.path.join(tmp, "seen_shards"))
 
         counts = {
             "iteration": k,

@@ -360,7 +360,7 @@ def q11(spark, sf_dir):
     "q12_word_frequency",
     f"""
     WITH toks AS (
-      SELECT unnest(string_split_regex(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'), '\\s+')) AS word
+      SELECT unnest(string_split_regex(regexp_replace(lower(text), '[^\\p{{L}}\\p{{N}}_\\s]', '', 'g'), '\\s+')) AS word
       FROM documents)
     SELECT word, COUNT(*) AS cnt FROM toks
     WHERE regexp_matches(word, '^\\p{{L}}+$') AND length(word) > 2

@@ -282,8 +282,11 @@ def mirror_crawl(
                 parsed_all.append(rec)
                 links = extract_out_links(html, page_url)
             for li, link in enumerate(links):
+                # child seq from the parent's GLOBAL schedule seq (gseq):
+                # bounded per iteration — the raw discovery-seq chain
+                # overflows int64 at depth ≥3 (engine mirrors this)
                 next_frontier.append(
-                    (prio * 0.5, depth + 1, seq * 100_000 + li, canonicalize_one(link), link)
+                    (prio * 0.5, depth + 1, gseq * 100_000 + li, canonicalize_one(link), link)
                 )
         # unpicked candidates stay in the frontier for the next iteration
         picked_set = {c for _, _, _, c, _, _ in picked}

@@ -1,0 +1,75 @@
+"""Sinks (SURVEY.md K1/K4/K5) — partitioned table writers.
+
+- :func:`write_papers_csv` — the reference's CSV dataset layout
+  (formatter.py:88-111): preferred column order first
+  (``title,authors,abstract,pdf_url,keywords,source_url``), extras
+  appended, one directory per (conference, year) via ``partitionBy``
+  (the Spark-native version of the per-task output dirs).
+- :func:`build_posting_table` — the FTS5 stand-in (indexer.py:27-38):
+  tokenize title/authors/abstract, explode into a ``(term, doc, col)``
+  posting table. Field-scoped term lookup becomes a semi-join on this
+  table; the BM25-ish score in ``operators/search.py`` aggregates it.
+- :func:`write_embeddings` — vector-store sink (embedder_chroma.py:
+  111-125) as a plain parquet table; vec_id keyed for the ANN join-back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+PREFERRED_COLS = ["title", "authors", "abstract", "pdf_url", "keywords", "source_url"]
+
+
+def write_papers_csv(df: DataFrame, path: str, partition_cols=("conference", "year")) -> None:
+    """K1: column reorder (preferred first, extras after — formatter.py:
+    107-109) + partitioned CSV write with header."""
+    ordered = [c for c in PREFERRED_COLS if c in df.columns] + [
+        c for c in df.columns if c not in PREFERRED_COLS
+    ]
+    (
+        df.select(*ordered)
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .option("header", True)
+        .csv(path)
+    )
+
+
+def build_posting_table(
+    df: DataFrame, id_col: str, text_cols=("title", "authors", "abstract")
+) -> DataFrame:
+    """K4: (term, doc, col, tf) posting rows — tokenize + explode.
+
+    Porter stemming is an SQLite implementation detail, not a semantic
+    contract (SURVEY.md §1.1); exact lowercase word terms here.
+    """
+    parts = []
+    for c in text_cols:
+        toks = F.split(
+            F.regexp_replace(F.lower(F.coalesce(F.col(c), F.lit(""))), r"[^\w\s]", " "), r"\s+"
+        )
+        parts.append(
+            df.select(
+                F.col(id_col).alias("doc"),
+                F.lit(c).alias("col"),
+                F.explode(toks).alias("term"),
+            ).filter(F.length("term") > 0)
+        )
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    return union.groupBy("term", "doc", "col").agg(F.count("*").alias("tf"))
+
+
+def term_lookup(postings: DataFrame, term: str, col: str | None = None) -> DataFrame:
+    """Field-scoped posting lookup (FTS MATCH stand-in)."""
+    out = postings.filter(F.col("term") == term.lower())
+    if col is not None:
+        out = out.filter(F.col("col") == col)
+    return out.select("doc").distinct()
+
+
+def write_embeddings(df: DataFrame, path: str, n_buckets: int = 64) -> None:
+    """K5: embeddings table, repartitioned by id hash so the ANN
+    join-back and shard-local scans are balanced."""
+    df.repartition(n_buckets, F.col(df.columns[0])).write.mode("overwrite").parquet(path)

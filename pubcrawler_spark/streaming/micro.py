@@ -64,3 +64,20 @@ def run_available_now(stream_df: DataFrame, checkpoint: str, out_dir: str, mode:
     )
     q.awaitTermination()
     return q
+
+
+def run_complete_to_memory(stream_df: DataFrame, name: str, checkpoint: str):
+    """Windowed aggregations under availableNow: append mode only emits
+    windows the watermark has passed, and a drained source never
+    advances it — complete mode to a memory sink surfaces every window
+    (the file-sink path in production uses foreachBatch upserts)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -145,8 +145,10 @@ def test_streaming_ingest_and_rates(spark, tmp_path):
     rates = micro.windowed_host_rates(
         spark.readStream.schema(PAGES_DDL).parquet(src)
     )
-    out2 = str(tmp_path / "out2")
-    micro.run_available_now(rates, str(tmp_path / "ck2"), out2)
-    r = spark.read.parquet(out2)
+    micro.run_complete_to_memory(rates, "host_rates", str(tmp_path / "ck2"))
+    r = spark.sql("select * from host_rates")
     assert r.count() > 0
     assert set(r.columns) == {"window_start", "host", "n_fetched"}
+    # totals reconcile with the batch count
+    total = r.agg({"n_fetched": "sum"}).collect()[0][0]
+    assert total == pages_spark_df(spark, fx).count()
