@@ -128,14 +128,34 @@ def split_robots(frontier: DataFrame, robots_rules: DataFrame) -> tuple[DataFram
     )
 
 
+def host_budgets_from_robots(
+    robots_rules: DataFrame, host_budget: int, iteration_window_ms: int
+) -> DataFrame:
+    """Per-host slot budgets (X2): a robots ``Crawl-delay`` of d ms caps
+    a host at ``iteration_window_ms / d`` fetches per iteration — the
+    slot-based replacement for the reference's wall-clock sleeps
+    (iclr_scraper.py:67, tpami_scraper.py:111)."""
+    return robots_rules.filter(F.col("crawl_delay_ms") > 0).select(
+        "host",
+        F.least(
+            F.lit(host_budget),
+            F.greatest(F.lit(1), F.floor(F.lit(iteration_window_ms) / F.col("crawl_delay_ms"))),
+        )
+        .cast("int")
+        .alias("max_per_iter"),
+    )
+
+
 def pick_schedule(
     allowed: DataFrame,
     host_budget: int,
     iteration: int,
     salt_rows: int = 50_000,
-    shuffle_partitions: int | None = None,
+    host_budgets: DataFrame | None = None,
 ) -> DataFrame:
-    """Per-host top-``host_budget`` then deterministic global sequence.
+    """Per-host top-k (k = ``host_budget``, reduced per host by
+    ``host_budgets.max_per_iter`` where present) then a deterministic
+    global sequence.
 
     Returns fetch_schedule(iteration, seq, url, url_canon, url_hash,
     host, priority, depth, disc_seq).
@@ -148,31 +168,65 @@ def pick_schedule(
         .withColumn("host_salt", F.pmod(F.col("url_hash"), F.col("__S")).cast("int"))
     )
     # pass 1: bound each window partition to ~salt_rows rows, keep
-    # budget rows per salt (superset of the true per-host top-budget)
+    # budget rows per salt (superset of the true per-host top-budget).
+    # Literal limit here so WindowGroupLimit (rank pushdown) applies.
     w1 = Window.partitionBy("host", "host_salt").orderBy(*ORDER_COLS())
     pass1 = (
         salted.repartition("host", "host_salt")
         .withColumn("__rn1", F.row_number().over(w1))
         .filter(F.col("__rn1") <= host_budget)
     )
-    # pass 2: exact per-host budget over the ≤ S·budget survivors
+    # pass 2: exact per-host budget over the ≤ S·budget survivors;
+    # per-host crawl-delay budgets (≤ host_budget) bind here
+    if host_budgets is not None:
+        pass1 = pass1.join(F.broadcast(host_budgets), "host", "left")
+        budget_col = F.coalesce(F.col("max_per_iter"), F.lit(host_budget))
+    else:
+        budget_col = F.lit(host_budget)
     w2 = Window.partitionBy("host").orderBy(*ORDER_COLS())
     picked = (
         pass1.withColumn("__rn2", F.row_number().over(w2))
-        .filter(F.col("__rn2") <= host_budget)
-        .drop("__rn1", "__rn2", "__hc", "__S", "host_salt")
+        .filter(F.col("__rn2") <= budget_col)
+        .drop("__rn1", "__rn2", "__hc", "__S", "host_salt", "max_per_iter")
     )
-    # global deterministic sequence. The schedule is budget-bounded
-    # (≤ hosts × budget rows), so a single-partition window here ranks a
-    # small set; the heavy ranking already happened per (host, salt).
+    # global deterministic sequence — WITHOUT a single-partition window
+    # (Window.orderBy() with no partitionBy funnels the whole schedule
+    # through one task, and every downstream stage — fetch join, parse —
+    # inherits that one partition; observed as single-threaded parse).
     # Discovery seq is preserved as disc_seq (child-link ordering key).
     picked = picked.withColumnRenamed("seq", "disc_seq")
-    wg = Window.orderBy(
+    order = [
         F.col("priority").desc(),
         F.col("depth").asc(),
         F.col("disc_seq").asc(),
         F.col("url_hash").asc(),
+    ]
+    return global_sequence(picked, order).withColumn("iteration", F.lit(iteration))
+
+
+def global_sequence(df: DataFrame, order, out_col: str = "seq") -> DataFrame:
+    """Deterministic dense 0-based global rank over a total order,
+    computed scalably: range-repartition on the order keys → local
+    row_number per partition → add broadcast per-partition offsets.
+
+    The order must be total (unique key tuples); then the rank is unique
+    and independent of where the range boundaries fall, so the result is
+    deterministic even though range partitioning samples. Only the
+    P-row offset table passes through a tiny single-partition window.
+    """
+    rp = df.repartitionByRange(*order)
+    w_local = Window.partitionBy("__pid").orderBy(*order)
+    local = (
+        rp.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrn", F.row_number().over(w_local).cast("long"))
     )
-    return picked.withColumn(
-        "seq", F.row_number().over(wg).cast("long") - 1
-    ).withColumn("iteration", F.lit(iteration))
+    counts = local.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).cast("long")
+    ).select("__pid", "__off")
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__off") + F.col("__lrn") - 1)
+        .drop("__pid", "__lrn", "__off")
+    )

@@ -154,6 +154,7 @@ class CrawlEngine:
         salt_rows: int = 50_000,
         detailed_metrics: bool = True,
         expected_urls: int = 2_000_000,
+        iteration_window_ms: int = 60_000,
     ) -> None:
         self.spark = spark
         self.year = year
@@ -167,6 +168,10 @@ class CrawlEngine:
         self.seeds = seeds
         self._shards: seen_mod.BloomShards | None = None
         self.robots_rules = sched.parse_robots_rules(robots).cache()
+        # robots Crawl-delay → per-host slot budgets (tiny dim, cached)
+        self.host_budgets = sched.host_budgets_from_robots(
+            self.robots_rules, host_budget, iteration_window_ms
+        ).cache()
         # fetch-side corpus: canonical url is the join key (J5). At real
         # scale `pages` is the Iceberg corpus partitioned by
         # bucket(url_hash); the schedule side broadcasts, so this table
@@ -245,9 +250,13 @@ class CrawlEngine:
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
 
+        job_ms: dict[str, int] = {}
+
         def _write(df: DataFrame, name: str) -> str:
+            t0 = time.monotonic()
             path = os.path.join(tmp, name)
             df.write.mode("overwrite").parquet(path)
+            job_ms[name] = int((time.monotonic() - t0) * 1000)
             return path
 
         def _rb(name: str) -> DataFrame:
@@ -276,7 +285,10 @@ class CrawlEngine:
         # the cached pages corpus (the corpus never shuffles); the Arrow
         # parse UDF emits records + out-links. The written table carries
         # the schedule columns — `schedule` and `parsed` are projections.
-        schedule = sched.pick_schedule(allowed_rb, self.host_budget, k, salt_rows=self.salt_rows)
+        schedule = sched.pick_schedule(
+            allowed_rb, self.host_budget, k,
+            salt_rows=self.salt_rows, host_budgets=self.host_budgets,
+        )
         fetched = F.broadcast(schedule).join(
             self.pages.select("url_canon", "html"), "url_canon", "left"
         )
@@ -373,6 +385,7 @@ class CrawlEngine:
                 os.path.join(tmp, "metrics"), k, n_sched, n_parsed, n_disallowed
             )
 
+        counts["job_ms"] = job_ms
         manifest = {
             "iteration": k,
             "counts": counts,

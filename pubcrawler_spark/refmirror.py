@@ -188,9 +188,10 @@ def extract_record(html: bytes | str, url: str) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _robots_disallowed(robots_txt: str, path: str) -> bool:
-    """Minimal robots.txt: User-agent: * Disallow prefixes."""
-    active = False
+def _robots_parse(robots_txt: str) -> tuple[list[str], int]:
+    """Minimal robots.txt: User-agent: * Disallow prefixes + Crawl-delay
+    (ms). Mirrors operators/schedule.parse_robots_rules."""
+    active, dis, delay = False, [], 0
     for line in (robots_txt or "").splitlines():
         line = line.split("#", 1)[0].strip()
         if not line:
@@ -200,9 +201,18 @@ def _robots_disallowed(robots_txt: str, path: str) -> bool:
         if key == "user-agent":
             active = val == "*"
         elif key == "disallow" and active and val:
-            if path.startswith(val):
-                return True
-    return False
+            dis.append(val)
+        elif key == "crawl-delay" and active:
+            try:
+                delay = int(float(val) * 1000)
+            except ValueError:
+                pass
+    return dis, delay
+
+
+def _robots_disallowed(robots_txt: str, path: str) -> bool:
+    dis, _ = _robots_parse(robots_txt)
+    return any(path.startswith(p) for p in dis)
 
 
 def mirror_crawl(
@@ -213,6 +223,7 @@ def mirror_crawl(
     max_iterations: int,
     year: int | str,
     index_url_pred,
+    iteration_window_ms: int = 60_000,
 ) -> dict:
     """Single-process crawl over in-memory fixture pages.
 
@@ -258,7 +269,12 @@ def mirror_crawl(
             by_host.setdefault(row[5], []).append(row)
         picked = []
         for host, rows in by_host.items():
-            picked.extend(rows[:host_budget])
+            # Crawl-delay caps per-host slots (≙ host_budgets_from_robots)
+            _, delay_ms = _robots_parse(robots.get(host, ""))
+            budget = host_budget
+            if delay_ms > 0:
+                budget = min(host_budget, max(1, iteration_window_ms // delay_ms))
+            picked.extend(rows[:budget])
         picked.sort(key=lambda t: (-t[0], t[1], t[2], murmur3_64(t[3].encode())))
 
         if not picked:

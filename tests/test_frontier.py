@@ -13,6 +13,7 @@ from __future__ import annotations
 import shutil
 
 import pytest
+from pyspark.sql import functions as F
 
 from pubcrawler_spark import refmirror as rm
 from pubcrawler_spark.fixtures import (
@@ -34,6 +35,9 @@ def fixture():
     return generate_pages(N_PAGES)
 
 
+WINDOW_MS = 10_000  # Crawl-delay 2 s hosts get min(BUDGET, 5) slots
+
+
 @pytest.fixture(scope="module")
 def mirror_result(fixture):
     pages = {r["url"]: r["html"] for r in fixture.rows}
@@ -45,6 +49,7 @@ def mirror_result(fixture):
         max_iterations=MAX_ITER,
         year=YEAR,
         index_url_pred=is_index_url,
+        iteration_window_ms=WINDOW_MS,
     )
 
 
@@ -59,6 +64,7 @@ def _run_engine(spark, fixture, tmp, seen_mode="exact", resume_at=None):
         host_budget=BUDGET,
         seen_mode=seen_mode,
         salt_rows=40,  # force salting paths to exercise at fixture scale
+        iteration_window_ms=WINDOW_MS,
     )
     if resume_at is not None:
         engine.run(max_iterations=resume_at)
@@ -109,7 +115,7 @@ def test_engine_matches_mirror_exact(spark, fixture, mirror_result, tmp_path):
     sched = engine.full_schedule()
     bad = (
         sched.filter("url_canon like '%/private/%'")
-        .filter(sched.host.isin(disallowing))
+        .filter(F.col("host").isin(disallowing))
         .count()
     )
     assert bad == 0
@@ -117,6 +123,26 @@ def test_engine_matches_mirror_exact(spark, fixture, mirror_result, tmp_path):
     assert any(
         f"https://{h}/private/" in r["url"] for h in disallowing for r in fixture.rows
     )
+    # crawl-delay hosts are capped at window/delay slots per iteration
+    delayed = [h for h, txt in fixture.robots.items() if "Crawl-delay: 2" in txt]
+    assert delayed
+    cap = min(BUDGET, WINDOW_MS // 2000)
+    over = (
+        sched.groupBy("iteration", "host")
+        .count()
+        .filter(F.col("host").isin(delayed))
+        .filter(f"count > {cap}")
+        .count()
+    )
+    assert over == 0
+    hit_cap = (
+        sched.groupBy("iteration", "host")
+        .count()
+        .filter(F.col("host").isin(delayed))
+        .filter(f"count = {cap}")
+        .count()
+    )
+    assert hit_cap > 0, "cap should actually bind for some delayed host"
 
 
 def test_engine_matches_mirror_bloom(spark, fixture, mirror_result, tmp_path):

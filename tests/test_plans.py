@@ -1,0 +1,62 @@
+"""Physical-plan regression tests (scale guardrails): pushdown, column
+pruning, broadcast joins, rank-limit pushdown, no-shuffle top-k.
+
+These assert the *plan shape*, not timings — the properties that decide
+whether a query survives a 100× scale-up (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from pubcrawler_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q01_pushdown_and_partial_agg(spark):
+    p = _plan(spark, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # partial + final aggregate pair (map-side combine)
+    assert p.count("HashAggregate") >= 2
+    # column pruning: orderkey/partkey/suppkey are NOT read
+    assert "l_orderkey" not in p.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q02_broadcasts_dim_side(spark):
+    p = _plan(spark, "q02_top_parts_by_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q21_topk_no_shuffle(spark):
+    p = _plan(spark, "q21_ann_cosine_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p, "brute-force top-k must not shuffle"
+    # only the two needed columns are read
+    read = p.split("ReadSchema: ")[1].splitlines()[0]
+    assert "vec_id" in read and "embedding" in read and "label" not in read
+
+
+def test_q26_rank_limit_pushdown(spark):
+    p = _plan(spark, "q26_politeness_schedule")
+    assert "WindowGroupLimit" in p, "row_number budget must push into the window sort"
+    assert "BroadcastHashJoin" in p  # host-count dim broadcast
+
+
+def test_q03_fact_broadcast_dims(spark):
+    p = _plan(spark, "q03_region_revenue")
+    # all four dims broadcast; the fact table shuffles at most for the agg
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p
