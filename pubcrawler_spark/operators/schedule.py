@@ -195,38 +195,69 @@ def pick_schedule(
     # inherits that one partition; observed as single-threaded parse).
     # Discovery seq is preserved as disc_seq (child-link ordering key).
     picked = picked.withColumnRenamed("seq", "disc_seq")
-    order = [
-        F.col("priority").desc(),
-        F.col("depth").asc(),
-        F.col("disc_seq").asc(),
-        F.col("url_hash").asc(),
-    ]
-    return global_sequence(picked, order).withColumn("iteration", F.lit(iteration))
+    return global_sequence(
+        picked,
+        order_col_names=["priority", "depth", "disc_seq", "url_hash"],
+        descending={"priority"},
+        key_col="url_canon",
+    ).withColumn("iteration", F.lit(iteration))
 
 
-def global_sequence(df: DataFrame, order, out_col: str = "seq") -> DataFrame:
+def global_sequence(
+    df: DataFrame,
+    order_col_names: list[str],
+    descending: set[str],
+    key_col: str,
+    out_col: str = "seq",
+) -> DataFrame:
     """Deterministic dense 0-based global rank over a total order,
-    computed scalably: range-repartition on the order keys → local
-    row_number per partition → add broadcast per-partition offsets.
+    computed scalably without funneling the full table through one task:
 
-    The order must be total (unique key tuples); then the rank is unique
-    and independent of where the range boundaries fall, so the result is
-    deterministic even though range partitioning samples. Only the
-    P-row offset table passes through a tiny single-partition window.
+    1. project a SLIM (key + order columns) view and materialize it once
+       (``localCheckpoint``) — materializing is required because the
+       two consumers below would otherwise re-run the range sampler on
+       a live plan and can see different boundaries (mismatched
+       partition ids corrupt offsets / drop rows; observed at 300k+),
+    2. range-repartition the slim rows on the order keys → local
+       row_number per partition → add broadcast per-partition offsets
+       (only the tiny P-row offset table passes through a
+       single-partition window),
+    3. join the ranks back to the (wide) input by ``key_col`` — a
+       distributed join, so downstream stages keep full parallelism.
+
+    ``order_col_names`` must form a total order and ``key_col`` must be
+    unique per row.
     """
-    rp = df.repartitionByRange(*order)
+    if out_col in df.columns:
+        raise ValueError(
+            f"global_sequence: output column {out_col!r} already exists — rename it first"
+        )
+    order = [
+        F.col(c).desc() if c in descending else F.col(c).asc()
+        for c in order_col_names
+    ]
+    slim = df.select(key_col, *order_col_names).localCheckpoint(eager=True)
+    rp = slim.repartitionByRange(*order)
     w_local = Window.partitionBy("__pid").orderBy(*order)
+    # __pid MUST be frozen before branching: the counts branch and the
+    # join branch have different downstream plans, so AQE can coalesce
+    # the range exchange differently per branch — divergent partition
+    # ids then make the inner join silently drop rows (observed). The
+    # checkpoint pins one physical evaluation; it is slim (key + order
+    # cols), so the materialization is cheap at any scale.
     local = (
         rp.withColumn("__pid", F.spark_partition_id())
         .withColumn("__lrn", F.row_number().over(w_local).cast("long"))
+        .localCheckpoint(eager=True)
     )
     counts = local.groupBy("__pid").agg(F.count("*").alias("__cnt"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(
         "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).cast("long")
     ).select("__pid", "__off")
-    return (
+    ranked = (
         local.join(F.broadcast(offsets), "__pid")
         .withColumn(out_col, F.col("__off") + F.col("__lrn") - 1)
-        .drop("__pid", "__lrn", "__off")
+        .select(key_col, out_col)
     )
+    return df.join(ranked, key_col)

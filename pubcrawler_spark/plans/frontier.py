@@ -281,18 +281,26 @@ class CrawlEngine:
         allowed_rb = cand_rb.filter(F.col("robots_ok")).drop("robots_ok")
 
         # JOB 2: schedule → fetch join → parse, all in one pass.
-        # pick_schedule output is budget-bounded, so it broadcasts into
-        # the cached pages corpus (the corpus never shuffles); the Arrow
-        # parse UDF emits records + out-links. The written table carries
-        # the schedule columns — `schedule` and `parsed` are projections.
+        # Fetch-join strategy: broadcast ONLY the schedule's url_canon
+        # keys as a semi-join filter into the cached corpus (keys are a
+        # few bytes/URL — a full-schedule broadcast builds a large hash
+        # relation serially on the driver), parse the matching pages,
+        # then re-attach the schedule columns with a distributed join
+        # (AQE picks the strategy; at Iceberg scale both sides are
+        # bucketed by url_canon so this is a storage-partitioned join).
+        # The written table carries the schedule columns — `schedule`
+        # and `parsed` are projections.
         schedule = sched.pick_schedule(
             allowed_rb, self.host_budget, k,
             salt_rows=self.salt_rows, host_budgets=self.host_budgets,
         )
-        fetched = F.broadcast(schedule).join(
-            self.pages.select("url_canon", "html"), "url_canon", "left"
+        hit_pages = self.pages.select("url_canon", "html").join(
+            F.broadcast(schedule.select("url_canon")), "url_canon", "left_semi"
         )
-        parsed_full = parse_pages(fetched, self.year, url_col="url_canon")
+        parsed_pages = parse_pages(hit_pages, self.year, url_col="url_canon").select(
+            "url_canon", "parsed"
+        )
+        parsed_full = schedule.join(parsed_pages, "url_canon", "left")
         pl_path = _write(
             parsed_full.select(
                 "iteration", "seq", "url_canon", "url_hash", "host",

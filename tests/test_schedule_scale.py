@@ -1,0 +1,62 @@
+"""Scale-shape tests for the scheduler: global_sequence determinism and
+salting budget enforcement on a larger synthetic frontier."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pubcrawler_spark.operators import schedule as sched
+
+
+def _frontier(spark, n=120_000, hosts=50):
+    # Zipf-ish: host0 gets ~35% of rows (forces multi-salt windows)
+    return spark.range(n).select(
+        F.concat(F.lit("https://h"),
+                 F.when(F.col("id") % 3 == 0, 0).otherwise(F.pmod(F.col("id"), F.lit(hosts))).cast("string"),
+                 F.lit(".org/p"), F.col("id").cast("string")).alias("url_canon"),
+        F.concat(F.lit("h"),
+                 F.when(F.col("id") % 3 == 0, 0).otherwise(F.pmod(F.col("id"), F.lit(hosts))).cast("string"),
+                 F.lit(".org")).alias("host"),
+        F.xxhash64("id").alias("url_hash"),
+        (F.pmod(F.col("id"), F.lit(97)) / 97.0).alias("priority"),
+        F.lit(0).alias("depth"),
+        F.col("id").alias("seq"),
+        F.col("id").cast("string").alias("url"),
+    )
+
+
+def test_global_sequence_dense_unique_deterministic(spark):
+    df = _frontier(spark, 120_000).withColumnRenamed("seq", "disc_seq")
+    args = (["priority", "depth", "disc_seq", "url_hash"], {"priority"}, "url_canon")
+    a = sched.global_sequence(df, *args)
+    n = df.count()
+    stats = a.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("seq").alias("d"),
+        F.min("seq").alias("mn"),
+        F.max("seq").alias("mx"),
+    ).collect()[0]
+    # dense 0..n-1, no rows lost, no duplicates
+    assert (stats["n"], stats["d"], stats["mn"], stats["mx"]) == (n, n, 0, n - 1)
+    # deterministic across independent computations
+    b = sched.global_sequence(df, *args)
+    assert a.select("seq", "url_canon").exceptAll(b.select("seq", "url_canon")).count() == 0
+    # seq order agrees with the declared total order
+    top = a.orderBy("seq").limit(1000).collect()
+    keys = [(-r["priority"], r["depth"], r["seq"]) for r in top]
+    prios = [r["priority"] for r in top]
+    assert prios == sorted(prios, reverse=True)
+
+
+def test_salted_budget_exact_at_scale(spark):
+    df = _frontier(spark, 60_000)
+    out = sched.pick_schedule(df, host_budget=100, iteration=0, salt_rows=1_000)
+    per_host = out.groupBy("host").count().collect()
+    assert all(r["count"] <= 100 for r in per_host)
+    # the hot host must hit the budget exactly (salting didn't undercount)
+    hot = [r["count"] for r in per_host if r["host"] == "h0.org"]
+    assert hot == [100]
+    # schedule seq dense over the picked set
+    n = out.count()
+    assert out.agg(F.countDistinct("seq")).collect()[0][0] == n
+    assert out.agg(F.max("seq")).collect()[0][0] == n - 1
