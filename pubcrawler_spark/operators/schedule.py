@@ -236,28 +236,21 @@ def global_sequence(
         F.col(c).desc() if c in descending else F.col(c).asc()
         for c in order_col_names
     ]
-    slim = df.select(key_col, *order_col_names).localCheckpoint(eager=True)
-    rp = slim.repartitionByRange(*order)
-    w_local = Window.partitionBy("__pid").orderBy(*order)
-    # __pid MUST be frozen before branching: the counts branch and the
-    # join branch have different downstream plans, so AQE can coalesce
-    # the range exchange differently per branch — divergent partition
-    # ids then make the inner join silently drop rows (observed). The
-    # checkpoint pins one physical evaluation; it is slim (key + order
-    # cols), so the materialization is cheap at any scale.
-    local = (
-        rp.withColumn("__pid", F.spark_partition_id())
-        .withColumn("__lrn", F.row_number().over(w_local).cast("long"))
-        .localCheckpoint(eager=True)
-    )
-    counts = local.groupBy("__pid").agg(F.count("*").alias("__cnt"))
-    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn(
-        "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).cast("long")
-    ).select("__pid", "__off")
+    # Rank a SLIM projection (key + order cols, ~40 bytes/row) through a
+    # single-partition window, then join the ranks back distributed.
+    # Only the slim rows serialize through one task — a 10M-row schedule
+    # is ~400 MB through one sort (~seconds); the wide columns and all
+    # downstream stages keep full parallelism via the join. This is
+    # sampling-free and therefore exactly deterministic. (A two-phase
+    # range-partitioned rank drops the serial sort for >10^8-row
+    # schedules, but needs its intermediates pinned — AQE can coalesce
+    # the range exchange differently per consumer branch, which we
+    # observed silently corrupting partition-id offsets; the slim
+    # single-sort is the safer default at every realistic budget.)
+    w = Window.orderBy(*order)
     ranked = (
-        local.join(F.broadcast(offsets), "__pid")
-        .withColumn(out_col, F.col("__off") + F.col("__lrn") - 1)
+        df.select(key_col, *order_col_names)
+        .withColumn(out_col, F.row_number().over(w).cast("long") - 1)
         .select(key_col, out_col)
     )
     return df.join(ranked, key_col)

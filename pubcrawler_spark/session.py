@@ -53,7 +53,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # bounded Arrow batches: with ~16 KB html payloads, 10k-row
+        # batches are ~160 MB per in-flight task — at 32 concurrent
+        # tasks that's a multi-GB allocation storm (observed as a 32-core
+        # collapse); 2k rows keeps per-task batches ~32 MB
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
