@@ -26,17 +26,55 @@ if _pkg_root not in _pypath.split(os.pathsep):
 
 from pubcrawler_spark.queries import ORACLES, QUERIES  # noqa: E402
 
+_shipped: set[int] = set()
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """The driver may have started its SparkSession before importing this
+    module, in which case local-mode Python workers inherited an env
+    without our PYTHONPATH. Shipping the package as a zip via addPyFile
+    works regardless of session start order."""
+    key = id(spark.sparkContext)
+    if key in _shipped:
+        return
+    import shutil
+    import tempfile
+
+    zip_base = os.path.join(tempfile.gettempdir(), "pubcrawler_spark_pkg")
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        staging = tempfile.mkdtemp(prefix="pkg_stage_")
+        shutil.copytree(
+            os.path.join(_pkg_root, "pubcrawler_spark"),
+            os.path.join(staging, "pubcrawler_spark"),
+        )
+        shutil.make_archive(zip_base, "zip", staging)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added in this context
+    _shipped.add(key)
+
+
+def _wrap(fn: Callable) -> Callable:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_workers_can_import(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: deterministic politeness fetch-schedule (canonicalize
     UDF → salted per-host top-k window → global crawl order) on the
     sf0.001 events-derived frontier."""
+    _ensure_workers_can_import(spark)
     return QUERIES["q26_politeness_schedule"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return {name: _wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

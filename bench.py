@@ -311,7 +311,13 @@ def run_scaling(n_pages: int, budget: int = BENCH_BUDGET, replicas: int = 3) -> 
         )
         return json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
 
-    stage = {c: run("--stage", c, ["--replicas", "4"]) for c in (2, 8, 32)}
+    # median of 3 per level: single-run variance on a shared VM is ±15%
+    def median3(mode_flag, cpus, extra):
+        runs = sorted((run(mode_flag, cpus, extra) for _ in range(3)),
+                      key=lambda r: r["urls_per_sec"])
+        return runs[1]
+
+    stage = {c: median3("--stage", c, ["--replicas", "4"]) for c in (2, 8, 32)}
     mega = {c: run("--mega", c, ["--replicas", str(replicas)]) for c in (2, 8)}
     loop = {c: run("--frontier-only", c, ["--budget", str(budget)]) for c in (2, 8)}
 
