@@ -304,8 +304,13 @@ def run_scaling(n_pages: int, budget: int = BENCH_BUDGET, replicas: int = 3) -> 
     _bench_fixture_dir(n_pages, filler_kb=16.0)
 
     def run(mode_flag: str, cpus: int, extra: list[str]) -> dict:
+        # taskset pins the WHOLE process tree (JVM + GC + shuffle + Arrow
+        # python workers) to exactly `cpus` physical cores — local[N]
+        # alone only caps task slots while ancillary threads spill onto
+        # the other 32 cores, systematically flattering the small-N leg
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), mode_flag, "--cpus", str(cpus),
+            ["taskset", "-c", f"0-{cpus - 1}",
+             sys.executable, os.path.abspath(__file__), mode_flag, "--cpus", str(cpus),
              "--pages", str(n_pages)] + extra,
             capture_output=True, text=True, check=True, cwd=REPO,
         )

@@ -1,0 +1,112 @@
+"""CLI entry points — the Spark-native equivalents of the reference's
+run surfaces (run_crawler.py, search_ai_assistant.py, trends analysis),
+launchable via spark-submit --py-files pubcrawler_spark.zip:
+
+    python -m pubcrawler_spark.cli crawl --pages <parquet> --seeds <file> \
+        --robots <parquet> --checkpoint <dir> [--resume] [--iterations N]
+    python -m pubcrawler_spark.cli search --papers <parquet> --query 'title:"..." term'
+    python -m pubcrawler_spark.cli analyze --papers <parquet> --out <dir>
+
+Each subcommand is a thin shell over the library modules; all compute
+stays in the DataFrame plans.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from pubcrawler_spark.session import get_spark
+
+    return get_spark("pubcrawler-cli", master=args.master)
+
+
+def cmd_crawl(args) -> int:
+    from pubcrawler_spark.plans.frontier import CrawlEngine
+
+    spark = _spark(args)
+    pages = spark.read.parquet(args.pages)
+    robots = (
+        spark.read.parquet(args.robots)
+        if args.robots
+        else spark.createDataFrame([], "host string, robots_txt string")
+    )
+    seeds = [l.strip() for l in open(args.seeds) if l.strip()]
+    engine = CrawlEngine(
+        spark, pages, robots, seeds,
+        checkpoint_dir=args.checkpoint, year=args.year,
+        host_budget=args.budget, seen_mode=args.seen_mode,
+    )
+    totals = engine.run(max_iterations=args.iterations, resume=args.resume)
+    print(json.dumps(totals))
+    return 0
+
+
+def cmd_search(args) -> int:
+    from pubcrawler_spark.operators.search import keyword_search, search_stats
+
+    spark = _spark(args)
+    papers = spark.read.parquet(args.papers)
+    cols = [c for c in ("title", "authors", "abstract", "text") if c in papers.columns]
+    res = keyword_search(papers, args.query, cols, args.id_col)
+    res.show(args.top, truncate=60)
+    if {"conference", "year"} <= set(papers.columns):
+        search_stats(res).show(20)
+    return 0
+
+
+def cmd_analyze(args) -> int:
+    from pubcrawler_spark.operators import analytics
+
+    spark = _spark(args)
+    papers = spark.read.parquet(args.papers)
+    classified = analytics.classify_subfields(papers)
+    stats = analytics.topic_stats(analytics.explode_subfields(classified))
+    stats.orderBy("topic_name").write.mode("overwrite").option("header", True).csv(
+        args.out + "/topic_stats"
+    )
+    analytics.word_frequency(papers, top_n=200).write.mode("overwrite").option(
+        "header", True
+    ).csv(args.out + "/word_frequency")
+    print(f"wrote {args.out}/topic_stats and {args.out}/word_frequency")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="pubcrawler_spark")
+    ap.add_argument("--master", default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run the frontier engine")
+    c.add_argument("--pages", required=True)
+    c.add_argument("--seeds", required=True, help="file with one seed URL per line")
+    c.add_argument("--robots", default=None)
+    c.add_argument("--checkpoint", required=True)
+    c.add_argument("--iterations", type=int, default=5)
+    c.add_argument("--budget", type=int, default=10)
+    c.add_argument("--year", default=2024)
+    c.add_argument("--seen-mode", choices=["exact", "bloom"], default="bloom")
+    c.add_argument("--resume", action="store_true")
+    c.set_defaults(fn=cmd_crawl)
+
+    s = sub.add_parser("search", help="field-scoped keyword search")
+    s.add_argument("--papers", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--id-col", default="id")
+    s.add_argument("--top", type=int, default=20)
+    s.set_defaults(fn=cmd_search)
+
+    a = sub.add_parser("analyze", help="topic stats + word frequency")
+    a.add_argument("--papers", required=True)
+    a.add_argument("--out", required=True)
+    a.set_defaults(fn=cmd_analyze)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
