@@ -42,7 +42,7 @@ HEADLINE_QUERIES = [
     "q09_events_sessionize",
     "q12_word_frequency",
     "q21_ann_cosine_topk",
-    "q23_embedding_neardup",
+    "q02_top_parts_by_revenue",
     "q26_politeness_schedule",
 ]
 
