@@ -76,11 +76,13 @@ def cmd_analyze(args) -> int:
 
 
 def main(argv: list[str] | None = None) -> int:
-    ap = argparse.ArgumentParser(prog="pubcrawler_spark")
-    ap.add_argument("--master", default=None)
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--master", default=None, help="Spark master (default: local[$SPARK_GRAFT_CPUS or *])")
+
+    ap = argparse.ArgumentParser(prog="pubcrawler_spark", parents=[common])
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    c = sub.add_parser("crawl", help="run the frontier engine")
+    c = sub.add_parser("crawl", help="run the frontier engine", parents=[common])
     c.add_argument("--pages", required=True)
     c.add_argument("--seeds", required=True, help="file with one seed URL per line")
     c.add_argument("--robots", default=None)
@@ -92,14 +94,14 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--resume", action="store_true")
     c.set_defaults(fn=cmd_crawl)
 
-    s = sub.add_parser("search", help="field-scoped keyword search")
+    s = sub.add_parser("search", help="field-scoped keyword search", parents=[common])
     s.add_argument("--papers", required=True)
     s.add_argument("--query", required=True)
     s.add_argument("--id-col", default="id")
     s.add_argument("--top", type=int, default=20)
     s.set_defaults(fn=cmd_search)
 
-    a = sub.add_parser("analyze", help="topic stats + word frequency")
+    a = sub.add_parser("analyze", help="topic stats + word frequency", parents=[common])
     a.add_argument("--papers", required=True)
     a.add_argument("--out", required=True)
     a.set_defaults(fn=cmd_analyze)

@@ -170,9 +170,13 @@ def generate_pages(
             )
             gi += 1
 
-        # index page lists the first ~2/3 of detail pages as relative hrefs
+        # index page lists one dead link (a URL with no page row — the
+        # fetch-miss/retry path, SURVEY X3) followed by the first ~2/3
+        # of detail pages as relative hrefs
         first_wave = [s[0] for s in detail_specs]
-        hrefs = [u.replace(f"https://{host}", "") for u in first_wave[: max(1, n * 2 // 3)]]
+        hrefs = [f"/{YEAR}/dead{k}.html"] + [
+            u.replace(f"https://{host}", "") for u in first_wave[: max(1, n * 2 // 3)]
+        ]
         index_url = f"{base}/index.html"
         rows.append(
             {

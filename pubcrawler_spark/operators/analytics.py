@@ -107,7 +107,14 @@ def explode_subfields(df: DataFrame) -> DataFrame:
 
 def topic_stats(exploded: DataFrame, decisions=("Oral", "Spotlight", "Poster", "Reject", "N/A")) -> DataFrame:
     """A1-A4 in ONE aggregation (no join chain — SURVEY.md J3 note):
-    count, mean rating, decision pivot, acceptance rate."""
+    count, mean rating, decision pivot, acceptance rate.
+
+    Tolerates corpora without review data — missing ``avg_rating`` /
+    ``decision`` become nulls, like trends.py:51-57's column checks."""
+    if "avg_rating" not in exploded.columns:
+        exploded = exploded.withColumn("avg_rating", F.lit(None).cast("double"))
+    if "decision" not in exploded.columns:
+        exploded = exploded.withColumn("decision", F.lit(None).cast("string"))
     decision_counts = [
         F.sum(F.when(F.col("decision") == d, 1).otherwise(0)).alias(_dcol(d))
         for d in decisions

@@ -155,6 +155,7 @@ class CrawlEngine:
         detailed_metrics: bool = True,
         expected_urls: int = 2_000_000,
         iteration_window_ms: int = 60_000,
+        max_retries: int = 2,
     ) -> None:
         self.spark = spark
         self.year = year
@@ -163,6 +164,7 @@ class CrawlEngine:
         self.n_bloom_shards = n_bloom_shards
         self.salt_rows = salt_rows
         self.detailed_metrics = detailed_metrics
+        self.max_retries = max_retries
         self.expected_urls = expected_urls
         self.ckpt = checkpoint_dir
         self.seeds = seeds
@@ -199,8 +201,10 @@ class CrawlEngine:
     # -- iteration -----------------------------------------------------------
 
     def _initial_frontier(self) -> DataFrame:
-        rows = [(u, 1.0, 0, i) for i, u in enumerate(self.seeds)]
-        df = self.spark.createDataFrame(rows, "url string, priority double, depth int, seq long")
+        rows = [(u, 1.0, 0, i, 0) for i, u in enumerate(self.seeds)]
+        df = self.spark.createDataFrame(
+            rows, "url string, priority double, depth int, seq long, attempts int"
+        )
         return with_canonical_url(df).select(*_frontier_cols())
 
     def run(self, max_iterations: int, resume: bool = False) -> dict:
@@ -300,11 +304,13 @@ class CrawlEngine:
         parsed_pages = parse_pages(hit_pages, self.year, url_col="url_canon").select(
             "url_canon", "parsed"
         )
-        parsed_full = schedule.join(parsed_pages, "url_canon", "left")
+        parsed_full = schedule.join(parsed_pages, "url_canon", "left").withColumn(
+            "fetched", F.col("parsed").isNotNull()
+        )
         pl_path = _write(
             parsed_full.select(
                 "iteration", "seq", "url_canon", "url_hash", "host",
-                "priority", "depth", "disc_seq",
+                "priority", "depth", "disc_seq", "attempts", "url", "fetched",
                 F.col("parsed.id").alias("id"),
                 F.col("parsed.title").alias("title"),
                 F.col("parsed.authors").alias("authors"),
@@ -323,7 +329,8 @@ class CrawlEngine:
         pl_rb = _rb("parsed_links")
         n_parsed = n_sched - _col_null_count(pl_path, "id")
 
-        # JOB 3: next frontier = budget-deferred leftovers ∪ new links.
+        # JOB 3: next frontier = budget-deferred leftovers ∪ new links
+        # ∪ fetch-miss retries (X3: decayed priority, bounded attempts).
         # Child discovery seq = parent GLOBAL schedule seq × 100k + link
         # position: bounded (global seq resets each iteration, unlike the
         # raw discovery seq whose product chain overflows int64 at depth
@@ -338,16 +345,33 @@ class CrawlEngine:
                 (F.col("priority") * 0.5).alias("priority"),
                 (F.col("depth") + 1).alias("depth"),
                 (F.col("seq") * 100_000 + F.col("pos")).alias("seq"),
+                F.lit(0).alias("attempts"),
             )
         ).select(*_frontier_cols())
         leftover = allowed_rb.join(
             pl_rb.select("url_canon"), "url_canon", "left_anti"
         ).select(*_frontier_cols())
-        frontier_path = _write(leftover.unionByName(new_frontier), "frontier")
+        retries = (
+            pl_rb.filter(~F.col("fetched") & (F.col("attempts") < self.max_retries))
+            .select(
+                "url", "url_canon", "url_hash", "host",
+                (F.col("priority") * 0.25).alias("priority"),
+                "depth",
+                F.col("disc_seq").alias("seq"),
+                (F.col("attempts") + 1).alias("attempts"),
+            )
+            .select(*_frontier_cols())
+        )
+        frontier_path = _write(
+            leftover.unionByName(new_frontier).unionByName(retries), "frontier"
+        )
 
-        # JOB 4: seen update = scheduled ∪ robots-disallowed ∪ previous
+        # JOB 4: seen update = successfully fetched ∪ robots-disallowed
+        # ∪ previous (fetch misses stay un-seen so retries pass the
+        # seen filter; bloom shards have no deletes, so this ordering
+        # is load-bearing)
         seen_path = _write(
-            pl_rb.select("url_hash", "url_canon")
+            pl_rb.filter(F.col("fetched")).select("url_hash", "url_canon")
             .unionByName(cand_rb.filter(~F.col("robots_ok")).select("url_hash", "url_canon"))
             .unionByName(seen)
             .dropDuplicates(["url_hash"]),
@@ -358,7 +382,7 @@ class CrawlEngine:
             # fixed-capacity blobs (pyarrow column read + numpy; no job)
             delta = np.concatenate(
                 [
-                    _read_col(pl_path, "url_hash"),
+                    _read_col(pl_path, "url_hash", "fetched", True),
                     _read_col(cand_path, "url_hash", "robots_ok", False),
                 ]
             ).astype(np.int64)
@@ -371,6 +395,7 @@ class CrawlEngine:
             "scheduled": n_sched,
             "parsed": n_parsed,
             "skipped_robots": n_disallowed,
+            "fetch_misses": _col_sum_false(pl_path, "fetched"),
             "frontier_next": _count_parquet(frontier_path),
             "seen_total": _count_parquet(seen_path),
         }
@@ -425,7 +450,8 @@ class CrawlEngine:
 
     def full_schedule(self) -> DataFrame:
         return self._read_all("parsed_links").select(
-            "iteration", "seq", "url_canon", "url_hash", "host", "priority", "depth"
+            "iteration", "seq", "url_canon", "url_hash", "host",
+            "priority", "depth", "attempts", "fetched",
         )
 
     def full_parsed(self) -> DataFrame:
@@ -443,4 +469,4 @@ class CrawlEngine:
 
 
 def _frontier_cols():
-    return ("url", "url_canon", "url_hash", "host", "priority", "depth", "seq")
+    return ("url", "url_canon", "url_hash", "host", "priority", "depth", "seq", "attempts")

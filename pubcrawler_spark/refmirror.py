@@ -224,20 +224,25 @@ def mirror_crawl(
     year: int | str,
     index_url_pred,
     iteration_window_ms: int = 60_000,
+    max_retries: int = 2,
 ) -> dict:
     """Single-process crawl over in-memory fixture pages.
 
     Ordering contract (SURVEY.md §7.5): within an iteration, schedule
     = per-host top-``host_budget`` by (priority desc, depth asc,
     seq asc, url_hash asc), then a deterministic global sequence in
-    the same order. Returns schedule, seen set, parsed records.
+    the same order. Fetch misses re-enter the frontier with decayed
+    priority (×0.25) up to ``max_retries`` (X3) and only successful or
+    robots-disallowed URLs become "seen". Returns schedule, seen set,
+    parsed records.
     """
     from pubcrawler_spark.functions.hashing import murmur3_64
 
     seen: set[str] = set()
-    frontier: list[tuple] = []  # (priority, depth, seq, url_canon, url)
+    # frontier rows: (priority, depth, seq, url_canon, url, attempts)
+    frontier: list[tuple] = []
     for i, u in enumerate(seeds):
-        frontier.append((1.0, 0, i, canonicalize_one(u), u))
+        frontier.append((1.0, 0, i, canonicalize_one(u), u, 0))
 
     schedule_all: list[dict] = []
     parsed_all: list[dict] = []
@@ -246,27 +251,27 @@ def mirror_crawl(
     for iteration in range(max_iterations):
         # dedup within frontier + against seen
         cand: dict[str, tuple] = {}
-        for prio, depth, seq, canon, u in sorted(
+        for row in sorted(
             frontier, key=lambda t: (-t[0], t[1], t[2], murmur3_64(t[3].encode()))
         ):
-            if canon not in seen and canon not in cand:
-                cand[canon] = (prio, depth, seq, canon, u)
+            if row[3] not in seen and row[3] not in cand:
+                cand[row[3]] = row
         # robots filter
         allowed = []
-        for prio, depth, seq, canon, u in cand.values():
+        for prio, depth, seq, canon, u, attempts in cand.values():
             host = extract_host(canon)
             path = "/" + canon.split("://", 1)[-1].split("/", 1)[-1] if "://" in canon else canon
             if _robots_disallowed(robots.get(host, ""), path):
                 seen.add(canon)  # disallowed URLs never retried
                 continue
-            allowed.append((prio, depth, seq, canon, u, host))
+            allowed.append((prio, depth, seq, canon, u, attempts, host))
         # per-host politeness budget then global order
         by_host: dict[str, list] = {}
         for row in sorted(
             allowed,
             key=lambda t: (-t[0], t[1], t[2], murmur3_64(t[3].encode())),
         ):
-            by_host.setdefault(row[5], []).append(row)
+            by_host.setdefault(row[6], []).append(row)
         picked = []
         for host, rows in by_host.items():
             # Crawl-delay caps per-host slots (≙ host_budgets_from_robots)
@@ -281,14 +286,17 @@ def mirror_crawl(
             break
 
         next_frontier = []
-        for gseq, (prio, depth, seq, canon, u, host) in enumerate(picked):
+        for gseq, (prio, depth, seq, canon, u, attempts, host) in enumerate(picked):
             schedule_all.append(
                 {"iteration": iteration, "seq": gseq, "url_canon": canon, "host": host, "priority": prio}
             )
-            seen.add(canon)
             hit = pages_canon.get(canon)
             if hit is None:
+                # fetch miss (X3): retry with decayed priority, bounded
+                if attempts < max_retries:
+                    next_frontier.append((prio * 0.25, depth, seq, canon, u, attempts + 1))
                 continue
+            seen.add(canon)  # only successful fetches become seen
             page_url, html = hit
             if index_url_pred(page_url):
                 links = extract_index_links(html, page_url, year)
@@ -302,11 +310,11 @@ def mirror_crawl(
                 # bounded per iteration — the raw discovery-seq chain
                 # overflows int64 at depth ≥3 (engine mirrors this)
                 next_frontier.append(
-                    (prio * 0.5, depth + 1, gseq * 100_000 + li, canonicalize_one(link), link)
+                    (prio * 0.5, depth + 1, gseq * 100_000 + li, canonicalize_one(link), link, 0)
                 )
         # unpicked candidates stay in the frontier for the next iteration
-        picked_set = {c for _, _, _, c, _, _ in picked}
-        leftover = [r[:5] for r in allowed if r[3] not in picked_set]
+        picked_set = {r[3] for r in picked}
+        leftover = [r[:6] for r in allowed if r[3] not in picked_set]
         frontier = leftover + next_frontier
 
     return {"schedule": schedule_all, "seen": seen, "parsed": parsed_all}

@@ -156,6 +156,57 @@ def test_engine_matches_mirror_bloom(spark, fixture, mirror_result, tmp_path):
 def test_resume_equals_uninterrupted(spark, fixture, mirror_result, tmp_path):
     engine = _run_engine(spark, fixture, tmp_path / "ckr", resume_at=2)
     _assert_matches_mirror(engine, mirror_result, fixture)
-    # no URL fetched twice across the resumed run
+    # no URL successfully fetched twice across the resumed run
     sched = engine.full_schedule()
-    assert sched.count() == sched.select("url_canon").distinct().count()
+    fetched = sched.filter("fetched")
+    assert fetched.count() == fetched.select("url_canon").distinct().count()
+
+
+def test_fetch_retry_semantics(spark, tmp_path):
+    """X3: dead links get retried with decayed priority, bounded by
+    max_retries, and never pollute the seen set or parsed output.
+
+    Uses a tiny corpus whose hosts drain within a few iterations —
+    retries carry decayed priority, so on a large host they correctly
+    queue behind fresh discoveries and would not resurface in 4
+    iterations (that deprioritization is itself asserted below)."""
+    small = generate_pages(60)
+    engine = CrawlEngine(
+        spark,
+        pages_spark_df(spark, small),
+        robots_spark_df(spark, small),
+        small.seeds,
+        checkpoint_dir=str(tmp_path / "ckx"),
+        year=YEAR,
+        host_budget=BUDGET,
+        iteration_window_ms=WINDOW_MS,
+    )
+    engine.run(max_iterations=5)
+    # engine still matches the mirror on this corpus (retry path incl.)
+    mirror = rm.mirror_crawl(
+        {r["url"]: r["html"] for r in small.rows}, small.seeds, small.robots,
+        host_budget=BUDGET, max_iterations=5, year=YEAR,
+        index_url_pred=is_index_url, iteration_window_ms=WINDOW_MS,
+    )
+    _assert_matches_mirror(engine, mirror, small)
+    sched = engine.full_schedule()
+    dead = sched.filter("url_canon like '%/dead%'")
+    n_dead_urls = dead.select("url_canon").distinct().count()
+    assert n_dead_urls > 0, "fixture must contain dead index links"
+    # each dead URL scheduled at most 1 + max_retries (=2) times
+    per_url = dead.groupBy("url_canon").count().collect()
+    assert all(r["count"] <= 3 for r in per_url)
+    # at least one got retried (scheduled in >1 iteration)
+    assert any(r["count"] >= 2 for r in per_url)
+    # dead URLs are never marked fetched, never parsed, never seen
+    assert dead.filter("fetched").count() == 0
+    assert engine.full_parsed().filter("url_canon like '%/dead%'").count() == 0
+    assert engine.final_seen().filter("url_canon like '%/dead%'").count() == 0
+    # retries carry decayed priority: the retry row's priority < original
+    pr = {
+        (r["url_canon"], r["attempts"]): r["priority"]
+        for r in dead.select("url_canon", "attempts", "priority").collect()
+    }
+    for (u, att), p in pr.items():
+        if att > 0:
+            assert p < pr[(u, 0)]
