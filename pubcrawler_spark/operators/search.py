@@ -91,6 +91,57 @@ def keyword_search(
     )
 
 
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str,
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+) -> DataFrame:
+    """BM25 ranking over a tokenized posting view (the FTS5 ``ORDER BY
+    rank`` analog, W2/K4 — search_service.py:158).
+
+    idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)  [Robertson-Sparck Jones]
+    score(d) = Σ_t idf·tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+    Pure expressions end-to-end; tokenizer matches word_frequency's
+    unicode class, dl = total token count. Exactly reproducible in
+    ANSI SQL (oracle-checked as q31).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"[^\p{L}\p{N}_\s]", ""),
+                r"\s+",
+            )
+        ).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    n_docs, avgdl = dl.agg(F.count("*"), F.avg("dl")).collect()[0]
+
+    qt = tf.filter(F.col("term").isin(query_terms)).join(dl, "doc")
+    df_t = qt.groupBy("term").agg(F.countDistinct("doc").alias("df"))
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    scored = (
+        qt.join(F.broadcast(df_t), "term")
+        .withColumn(
+            "part",
+            idf
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))),
+        )
+        .groupBy("doc")
+        .agg(F.round(F.sum("part"), 6).alias("bm25"), F.count("*").alias("n_terms_hit"))
+        .orderBy(F.desc("bm25"), F.asc("doc"))
+        .limit(top_n)
+    )
+    return scored
+
+
 def search_stats(results: DataFrame, keys=("conference", "year")) -> DataFrame:
     """A5: distribution of results by keys, most-common first."""
     return (

@@ -614,6 +614,39 @@ def q25(spark, sf_dir):
     )
 
 
+_BM25_TERMS = ["stream", "window", "vector"]
+
+
+@q(
+    "q31_bm25_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(string_split_regex(regexp_replace(lower(text), '[^\\p{{L}}\\p{{N}}_\\s]', '', 'g'), '\\s+')) AS term
+      FROM documents),
+    toks2 AS (SELECT * FROM toks WHERE length(term) > 0),
+    tf AS (SELECT doc, term, COUNT(*) AS tf FROM toks2 GROUP BY doc, term),
+    dl AS (SELECT doc, SUM(tf) AS dl FROM tf GROUP BY doc),
+    stats AS (SELECT COUNT(*)::DOUBLE AS n_docs, AVG(dl) AS avgdl FROM dl),
+    qt AS (SELECT tf.doc, tf.term, tf.tf, dl.dl FROM tf JOIN dl USING (doc)
+           WHERE tf.term IN ({", ".join("'" + t + "'" for t in _BM25_TERMS)})),
+    dft AS (SELECT term, COUNT(DISTINCT doc) AS df FROM qt GROUP BY term)
+    SELECT doc, ROUND(SUM(
+             ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * (qt.tf * (1.2 + 1)) / (qt.tf + 1.2 * (1 - 0.75 + 0.75 * qt.dl / s.avgdl))
+           ), 6) AS bm25,
+           COUNT(*) AS n_terms_hit
+    FROM qt JOIN dft USING (term), stats s
+    GROUP BY doc ORDER BY bm25 DESC, doc LIMIT 20
+    """,
+)
+def q31(spark, sf_dir):
+    """W2/K4: BM25 ranking over the tokenized posting view (the FTS5
+    ORDER BY rank analog) for a fixed 3-term query."""
+    d = _t(spark, sf_dir, "documents")
+    return search.bm25_search(d, _BM25_TERMS, "doc_id", "text", top_n=20)
+
+
 # ===========================================================================
 # frontier operators (oracle-checked where ANSI-SQL can express them)
 # ===========================================================================

@@ -52,6 +52,31 @@ def windowed_host_rates(
     )
 
 
+def stateful_host_totals(pages_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-host
+    RUNNING fetch totals across micro-batches — the streaming twin of
+    the engine's per-host budget accounting. State = one long per host;
+    each batch emits the updated cumulative total (update mode)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    canon = with_canonical_url(pages_stream)
+
+    def update(key, pdf_iter, state: GroupState):
+        batch = sum(len(pdf) for pdf in pdf_iter)
+        total = (state.get[0] if state.exists else 0) + batch
+        state.update((total,))
+        yield pd.DataFrame({"host": [key[0]], "total_fetched": [total]})
+
+    return canon.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType="host string, total_fetched long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(stream_df: DataFrame, checkpoint: str, out_dir: str, mode: str = "append"):
     """Drain everything currently available, then stop (deterministic)."""
     q = (

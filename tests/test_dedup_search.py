@@ -152,3 +152,28 @@ def test_streaming_ingest_and_rates(spark, tmp_path):
     # totals reconcile with the batch count
     total = r.agg({"n_fetched": "sum"}).collect()[0][0]
     assert total == pages_spark_df(spark, fx).count()
+
+    # custom stateful operator (applyInPandasWithState): cumulative
+    # per-host totals; multiple micro-batches so state actually carries
+    stateful = micro.stateful_host_totals(
+        spark.readStream.schema(PAGES_DDL).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stateful.writeStream.format("memory")
+        .queryName("host_totals")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("select host, max(total_fetched) as total from host_totals group by host")
+    want = (
+        pages_spark_df(spark, fx)
+        .selectExpr("parse_url(url, 'HOST') as host")
+        .groupBy("host")
+        .count()
+    )
+    got = {r["host"]: r["total"] for r in out.collect()}
+    for r in want.collect():
+        assert got.get(r["host"]) == r["count"], (r["host"], got.get(r["host"]), r["count"])
