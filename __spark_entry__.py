@@ -37,17 +37,28 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     key = id(spark.sparkContext)
     if key in _shipped:
         return
+    import hashlib
     import shutil
     import tempfile
 
-    zip_base = os.path.join(tempfile.gettempdir(), "pubcrawler_spark_pkg")
+    # key the zip on a content hash of the package sources so a source
+    # edit never ships a stale package to the Python workers
+    pkg_dir = os.path.join(_pkg_root, "pubcrawler_spark")
+    digest = hashlib.sha256()
+    for root, _dirs, files in sorted(os.walk(pkg_dir)):
+        for fname in sorted(files):
+            if fname.endswith(".py"):
+                p = os.path.join(root, fname)
+                digest.update(os.path.relpath(p, pkg_dir).encode())
+                with open(p, "rb") as fh:
+                    digest.update(fh.read())
+    zip_base = os.path.join(
+        tempfile.gettempdir(), f"pubcrawler_spark_pkg_{digest.hexdigest()[:16]}"
+    )
     zip_path = zip_base + ".zip"
     if not os.path.exists(zip_path):
         staging = tempfile.mkdtemp(prefix="pkg_stage_")
-        shutil.copytree(
-            os.path.join(_pkg_root, "pubcrawler_spark"),
-            os.path.join(staging, "pubcrawler_spark"),
-        )
+        shutil.copytree(pkg_dir, os.path.join(staging, "pubcrawler_spark"))
         shutil.make_archive(zip_base, "zip", staging)
     try:
         spark.sparkContext.addPyFile(zip_path)

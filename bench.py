@@ -51,8 +51,10 @@ def _bench_fixture_dir(n_pages: int, filler_kb: float = 4.0) -> str:
     """Materialize the deterministic pages fixture once per size (shared
     by the scaling subprocesses so both parallelism levels read
     identical input)."""
+    # v3: v2 corpora were built before the fixtures.py filler-shadowing
+    # fix (pages measured ~0.5 KB instead of filler_kb) — never reuse them
     out = os.path.join(
-        tempfile.gettempdir(), f"pubcrawler_bench_fixture_v2_{n_pages}_{int(filler_kb)}k"
+        tempfile.gettempdir(), f"pubcrawler_bench_fixture_v3_{n_pages}_{int(filler_kb)}k"
     )
     marker = os.path.join(out, "_READY")
     if os.path.exists(marker):

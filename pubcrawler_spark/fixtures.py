@@ -133,8 +133,8 @@ def generate_pages(
             url = f"https://{host}{path}/paper{i}.html"
             detail_urls.append(url)
             title_kw = _TITLE_VOCAB[int(rng.integers(len(_TITLE_VOCAB)))]
-            filler = _FILLER[int(rng.integers(len(_FILLER)))]
-            title = f"{filler.title()} {title_kw.title()} for {_FILLER[int(rng.integers(len(_FILLER)))]} tasks"
+            adj = _FILLER[int(rng.integers(len(_FILLER)))]
+            title = f"{adj.title()} {title_kw.title()} for {_FILLER[int(rng.integers(len(_FILLER)))]} tasks"
             n_auth = int(rng.integers(1, 4))
             authors = [str(_SURNAMES[int(rng.integers(len(_SURNAMES)))]) for _ in range(n_auth)]
             kws = rng.choice(len(_TITLE_VOCAB), size=3, replace=False)

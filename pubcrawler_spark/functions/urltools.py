@@ -138,8 +138,11 @@ def canonicalize_batch(urls: pd.Series) -> pd.DataFrame:
 
     has_auth = authority.notna()
     auth = authority.fillna("")
-    # split userinfo@host:port (greedy .* == rpartition on last '@')
-    a = auth.str.extract(r"^(?:(.*)@)?([^:]*)(?::(\d*))?$")
+    # split userinfo@host:port (greedy .* == rpartition on last '@';
+    # port group is (.*) == partition on FIRST ':' like the scalar
+    # canonicalize_one — non-numeric ports and IPv6 literals round-trip
+    # unchanged instead of silently dropping the authority)
+    a = auth.str.extract(r"^(?:(.*)@)?([^:]*)(?::(.*))?$")
     userinfo = a[0].fillna("")
     host = a[1].fillna("").str.lower()
     port = a[2].fillna("")

@@ -79,14 +79,39 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str = "text", k: int = 5
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str = "text", k: int = 5, threshold: float = 0.6
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.6,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over char k-shingle sets for pairs sharing ≥1 shingle.
 
     shuffle plan: explode → groupBy(shingle) self-join → count
     intersections → join per-doc sizes → |A∩B| / (|A|+|B|-|A∩B|).
+
+    ``max_shingle_df`` is the stop-shingle cut (the 100 TB guard): a
+    shingle appearing in d docs fans out d² pairs in the self-join, so
+    one ubiquitous shingle (boilerplate, licence text) re-quadratics the
+    whole plan. With the cut, shingles with document frequency >
+    ``max_shingle_df`` are dropped BEFORE the self-join — the jaccard is
+    then the exact Jaccard of the PRUNED shingle sets (stop-shingles
+    excluded from both intersection and sizes, the standard web-dedup
+    semantics: ubiquitous boilerplate should not make every page pair
+    look similar) and the per-shingle join fan-out is bounded by
+    ``max_shingle_df``². Default None = exact over all shingles (the
+    sf-fixture/oracle mode).
     """
     sh = char_shingles(df, id_col, text_col, k).cache()
+    if max_shingle_df is not None:
+        light = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(light, "shingle")
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     a = sh.withColumnRenamed("doc", "doc_a")
     b = sh.withColumnRenamed("doc", "doc_b")
@@ -239,29 +264,71 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str = "text") -> Da
     return df.select(F.col(id_col).alias("doc"), _sim(F.col(text_col)).alias("simhash"))
 
 
+def _simhash_bucket_keys(col, n_chunks: int, max_hamming: int) -> list:
+    """Manku-style bucket keys: split the 64-bit simhash into
+    ``n_chunks`` contiguous chunks and emit one key per combination of
+    ``n_chunks - max_hamming`` chunks. Pigeonhole: ≤ t differing bits
+    dirty at most t chunks, so every true pair agrees on at least one
+    full combination — recall is guaranteed for any t < n_chunks.
+
+    Bucket-size math (why n_chunks is a scale knob): each key carries
+    ``64·(1 − t/n_chunks)`` bits. The default (n_chunks=4, t=3) keys on
+    16 bits → 65k buckets: at 10^10 docs that is ~10^5 docs/bucket and
+    the per-bucket verify re-quadratics. n_chunks=6, t=3 keys on ~33
+    bits (C(6,3)=20 tables) → ~10^10 buckets → O(1) docs/bucket; the
+    candidate volume grows only by the 20/4 table factor.
+    """
+    from itertools import combinations
+
+    base, rem = divmod(64, n_chunks)
+    widths = [base + (1 if i < rem else 0) for i in range(n_chunks)]
+    offsets, o = [], 0
+    for w in widths:
+        offsets.append(o)
+        o += w
+    chunks = []
+    for w, off in zip(widths, offsets):
+        e = F.shiftrightunsigned(col, off)
+        if w < 64:
+            e = e.bitwiseAND(F.lit((1 << w) - 1))
+        chunks.append(e)
+    keys = []
+    for combo in combinations(range(n_chunks), n_chunks - max_hamming):
+        key = F.lit(0).cast("long")
+        for i in combo:
+            key = F.shiftleft(key, widths[i]).bitwiseOR(chunks[i])
+        keys.append(key)
+    return keys
+
+
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ t, found by bucketing on
-    each of 4 16-bit chunks (pigeonhole: ≤3 differing bits leave ≥1
-    chunk identical) then verifying with bit_count(xor)."""
+    chunk-combination keys (see :func:`_simhash_bucket_keys`) then
+    verifying with ``bit_count(xor)``. Recall is exact by pigeonhole for
+    any ``max_hamming < n_chunks``; raise ``n_chunks`` at scale to widen
+    the bucket key space (docs in the helper)."""
+    if not 0 <= max_hamming < n_chunks:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < n_chunks; "
+            f"got max_hamming={max_hamming}, n_chunks={n_chunks}"
+        )
     sig = simhash_signatures(df, id_col, text_col).cache()
     chunked = sig.select(
         "doc",
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
-                ]
-            )
-        ).alias("chunk_idx", "chunk"),
+        F.posexplode(F.array(*_simhash_bucket_keys(F.col("simhash"), n_chunks, max_hamming)))
+        .alias("table_idx", "bucket"),
     )
-    a = chunked.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("h_a"), "chunk_idx", "chunk")
-    b = chunked.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("h_b"), "chunk_idx", "chunk")
+    a = chunked.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("h_a"), "table_idx", "bucket")
+    b = chunked.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("h_b"), "table_idx", "bucket")
     return (
-        a.join(b, ["chunk_idx", "chunk"])
+        a.join(b, ["table_idx", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
         .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
@@ -277,11 +344,30 @@ def simhash_pairs(
 
 
 def embedding_neardup_pairs(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    mode: str = "exact",
+    n_bits: int = 32,
+    bands: int = 16,
+    seed: int = 11,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Pairs with cosine similarity ≥ τ. Exact (all-pairs) baseline —
-    at scale swap the cross join for the LSH-bucketed candidates of
-    ann.lsh_bucket_topk (same verify expression).
+    """Pairs with cosine similarity ≥ τ.
+
+    - ``mode="exact"`` — all-pairs non-equi join (BroadcastNestedLoop).
+      The ≤10k-row oracle baseline ONLY; O(n²) at scale.
+    - ``mode="lsh"`` — the 10^8+-vector plan: random-hyperplane sign
+      bits (one Arrow pass), banded into ``bands`` buckets of
+      ``n_bits // bands`` bits; candidates = pairs sharing ≥1 band
+      bucket (EQUI-join on (band, bucket) — shuffles on the bucket key,
+      never materializes the cross product), then the identical exact
+      cosine verify. Recall for a pair at cosine τ:
+      ``1 − (1 − p^w)^bands`` with ``p = 1 − arccos(τ)/π``, ``w =
+      n_bits // bands``. Defaults (w=2, 16 bands) give miss ≈ 1.6e-4 at
+      τ=0.45 and ≈ 1e-12 at τ=0.95; at scale raise w (8–16) so buckets
+      stay small and add bands to hold recall.
 
     cosine = dot(a,b) / (‖a‖·‖b‖), computed in double with sequential
     folds so the DuckDB list_dot_product oracle matches bit-for-bit.
@@ -296,12 +382,58 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("nrm", F.sqrt(_dot("v", "v")))
-    a = n.select(F.col("vid").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
-    b = n.select(F.col("vid").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
+
+    if mode == "lsh":
+        from pubcrawler_spark.operators.ann import _hyperplanes
+
+        if dim is None:
+            dim = len(emb.select(vec_col).head()[0])  # one-row driver peek
+        planes_t = _hyperplanes(dim, n_bits, seed).T.copy()
+        w_bits = n_bits // bands
+
+        @F.pandas_udf("long")
+        def _sig(vecs: pd.Series) -> pd.Series:
+            m = np.stack(vecs.to_numpy())
+            bits = (m @ planes_t) > 0
+            weights = 1 << np.arange(n_bits, dtype=np.uint64)
+            return pd.Series((bits.astype(np.uint64) @ weights).astype(np.int64))
+
+        sigged = n.withColumn("__sig", _sig(F.col("v")))
+        banded = sigged.select(
+            "vid", "v", "nrm",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned(F.col("__sig"), b * w_bits)
+                        .bitwiseAND(F.lit((1 << w_bits) - 1))
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "bucket"),
+        )
+        a = banded.select(
+            F.col("vid").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"),
+            "band", "bucket",
+        )
+        b = banded.select(
+            F.col("vid").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"),
+            "band", "bucket",
+        )
+        cand = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    elif mode == "exact":
+        a = n.select(F.col("vid").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
+        b = n.select(F.col("vid").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
+        cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        raise ValueError(f"unknown mode {mode!r} (expected 'exact' or 'lsh')")
+
     cos = _dot("v_a", "v_b") / (F.col("n_a") * F.col("n_b"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cos, 6))
+        cand.withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
         .orderBy("id_a", "id_b")

@@ -210,20 +210,13 @@ def global_sequence(
     key_col: str,
     out_col: str = "seq",
 ) -> DataFrame:
-    """Deterministic dense 0-based global rank over a total order,
-    computed scalably without funneling the full table through one task:
-
-    1. project a SLIM (key + order columns) view and materialize it once
-       (``localCheckpoint``) — materializing is required because the
-       two consumers below would otherwise re-run the range sampler on
-       a live plan and can see different boundaries (mismatched
-       partition ids corrupt offsets / drop rows; observed at 300k+),
-    2. range-repartition the slim rows on the order keys → local
-       row_number per partition → add broadcast per-partition offsets
-       (only the tiny P-row offset table passes through a
-       single-partition window),
-    3. join the ranks back to the (wide) input by ``key_col`` — a
-       distributed join, so downstream stages keep full parallelism.
+    """Deterministic dense 0-based global rank over a total order:
+    a SLIM (key + order columns) projection is ranked through one
+    single-partition window, then the ranks are joined back to the wide
+    input by ``key_col`` — a distributed join, so every downstream stage
+    keeps full parallelism. Only the ~40-byte slim rows serialize
+    through the one sort task (see the inline comment for the scale
+    envelope and why the two-phase range-partitioned rank was rejected).
 
     ``order_col_names`` must form a total order and ``key_col`` must be
     unique per row.

@@ -570,6 +570,17 @@ def q23(spark, sf_dir):
     return dedup.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
+@q("q32_embedding_neardup_lsh")  # hyperplane signatures — rows-only (scale path)
+def q32(spark, sf_dir):
+    """Embedding near-dup via hyperplane-LSH candidates (the 10^8+-vector
+    plan): banded sign-bit buckets → equi-join on (band, bucket) → exact
+    cosine verify. Pytest asserts its pairs ⊇ the exact q23 pairs on the
+    fixture (recall ≈ 1 − 1.6e-4 per pair at τ=0.45 with these params)."""
+    return dedup.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, mode="lsh", n_bits=32, bands=16
+    )
+
+
 @q(
     "q24_semantic_search_joinback",
     f"""

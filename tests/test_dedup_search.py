@@ -60,8 +60,73 @@ def test_minhash_lsh_finds_planted_pairs(spark, docs):
 def test_simhash_finds_exact_dups(spark, docs):
     df, _ = docs
     pairs = {(r["doc_a"], r["doc_b"]) for r in
-             dedup.simhash_pairs(df, "doc_id", max_hamming=6).collect()}
+             dedup.simhash_pairs(df, "doc_id", max_hamming=6, n_chunks=8).collect()}
     assert (0, 50) in pairs and (1, 51) in pairs  # hamming 0 after norm...
+
+
+def test_simhash_chunk_configs_agree(spark, docs):
+    """Pigeonhole recall holds under different (n_chunks, key-width)
+    configurations: result set is identical, not just overlapping."""
+    df, _ = docs
+    p4 = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in
+          dedup.simhash_pairs(df, "doc_id", max_hamming=3, n_chunks=4).collect()}
+    p6 = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in
+          dedup.simhash_pairs(df, "doc_id", max_hamming=3, n_chunks=6).collect()}
+    assert p4 == p6
+    with pytest.raises(ValueError):  # pigeonhole violated
+        dedup.simhash_pairs(df, "doc_id", max_hamming=4, n_chunks=4)
+
+
+def test_ngram_stop_shingle_cut_bounds_pairs(spark):
+    """A planted ubiquitous shingle re-quadratics the self-join without
+    the DF cut; with the cut, pair volume is bounded and planted
+    near-dups still verify (their jaccard is dominated by rare
+    shingles)."""
+    boiler = "copyright license footer "  # shared by every doc
+    rows = [(i, boiler + f"unique text body number {i} " * 4) for i in range(40)]
+    rows.append((40, rows[0][1]))  # planted dup of doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.char_shingles(df, "doc_id", "text", k=5)
+    # candidate-pair volume = sum over shingles of df² (what the join materializes)
+    def pair_volume(max_df):
+        from pyspark.sql import functions as F
+        counts = sh.groupBy("shingle").agg(F.count("*").alias("d"))
+        if max_df is not None:
+            counts = counts.filter(F.col("d") <= max_df)
+        return counts.agg(F.sum(F.col("d") * F.col("d"))).collect()[0][0]
+    assert pair_volume(10) < pair_volume(None) / 3
+    cut_j = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             dedup.ngram_jaccard_pairs(df, "doc_id", threshold=0.5, max_shingle_df=10).collect()}
+    # the planted dup is identical so its PRUNED-set jaccard is exactly 1
+    assert cut_j.get((0, 40)) == 1.0
+    # boilerplate no longer glues unrelated docs together: without the
+    # cut every pair shares the ubiquitous shingles, with it only the
+    # true dup survives the 0.5 threshold
+    assert set(cut_j) == {(0, 40)}
+    # default (no cut) path unchanged: exact jaccard over all shingles
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             dedup.ngram_jaccard_pairs(df, "doc_id", threshold=0.99).collect()}
+    assert exact.get((0, 40)) == 1.0
+
+
+def test_embedding_neardup_lsh_superset_of_exact(spark):
+    """LSH-candidate mode finds every exact pair (planted + random tail)
+    and never reports a pair below threshold (verify step is exact)."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((200, 32)).astype(np.float32)
+    for src, dst in [(3, 103), (50, 150), (77, 177)]:
+        base[dst] = base[src] + rng.standard_normal(32).astype(np.float32) * 0.05
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    exact = {(r["id_a"], r["id_b"]) for r in
+             dedup.embedding_neardup_pairs(df, threshold=0.9).collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+           dedup.embedding_neardup_pairs(df, threshold=0.9, mode="lsh").collect()}
+    assert {(3, 103), (50, 150), (77, 177)} <= exact
+    assert exact <= set(lsh)
+    assert all(c >= 0.9 for c in lsh.values())
 
 
 def test_embedding_neardup_and_topk(spark):
