@@ -13,15 +13,25 @@ filter instead:
   deterministic).
 - **bloom mode** — seen URLs are sharded by ``pmod(url_hash, n_shards)``;
   each shard is a numpy bit-array bloom filter built with
-  ``applyInPandas`` (map-side, one blob row per shard) and probed with a
-  broadcast of the blobs inside ``mapInPandas``. No false negatives by
-  construction (property-tested); false positives only drop re-crawls,
-  never violate politeness. Probe is shuffle-free: blobs total
-  ``n_bits/8 * n_shards`` bytes and broadcast once per iteration;
-  at 10^10 URLs with 1% FPP that is ~12 GB, which exceeds broadcast —
-  then shard-join mode applies (repartition frontier by shard_id and
-  zip with blob rows); both paths implemented, broadcast used when the
-  blob table is under ``broadcast_limit``.
+  ``applyInPandas`` (map-side, one blob row per shard). Two probe paths
+  (:func:`filter_unseen_bloom` ``mode=``):
+
+  - ``"broadcast"`` — blobs collected + broadcast, probe is a
+    shuffle-free ``mapInPandas`` pass. Right while the blob table
+    (``n_bits/8 × n_shards`` bytes) fits a broadcast.
+  - ``"shard_join"`` — at 10^10 URLs / 1% FPP the blobs total ~12 GB,
+    past broadcast: candidates shuffle ONCE on ``shard_id`` and meet
+    their shard's single blob row in a cogrouped ``applyInPandas`` —
+    no driver collect, no broadcast, each blob shipped to exactly one
+    task.
+
+  The seen-update twin of shard_join is :func:`update_bloom_shards`:
+  the per-iteration delta of new url_hashes cogroups with the existing
+  blob rows and each task ORs its shard's positions — the driver never
+  materializes hashes or blobs.
+
+  No false negatives by construction (property-tested); false positives
+  only drop re-crawls, never violate politeness.
 """
 
 from __future__ import annotations
@@ -134,6 +144,25 @@ class BloomShards:
             np.bitwise_or.at(blob, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
             self.n_items[int(sid)] = self.n_items.get(int(sid), 0) + len(h)
 
+    def add_blob_rows(self, rows) -> None:
+        """OR-merge fixed-geometry delta blob rows (the distributed
+        big-delta path: build_bloom_delta_shards output, one bounded-size
+        row per shard — the driver never sees raw hashes)."""
+        for r in rows:
+            if int(r["n_bits"]) != self.n_bits or int(r["n_hashes"]) != self.n_hashes:
+                raise ValueError(
+                    f"shard {r['shard_id']}: delta geometry ({r['n_bits']}, {r['n_hashes']}) "
+                    f"!= filter geometry ({self.n_bits}, {self.n_hashes})"
+                )
+            sid = int(r["shard_id"])
+            incoming = np.frombuffer(r["bloom_bytes"], dtype=np.uint8)
+            blob = self.blobs.get(sid)
+            if blob is None:
+                self.blobs[sid] = incoming.copy()
+            else:
+                np.bitwise_or(blob, incoming, out=blob)
+            self.n_items[sid] = self.n_items.get(sid, 0) + int(r["n_items"])
+
     def filter_unseen(self, candidates: DataFrame) -> DataFrame:
         """mapInPandas probe against broadcast blobs (no shuffle)."""
         spark = candidates.sparkSession
@@ -231,13 +260,26 @@ def build_bloom_shards(
 
 
 def filter_unseen_bloom(
-    candidates: DataFrame, bloom_shards: DataFrame, n_shards: int = 32
+    candidates: DataFrame,
+    bloom_shards: DataFrame,
+    n_shards: int = 32,
+    mode: str = "broadcast",
 ) -> DataFrame:
     """Drop candidates whose url_hash probes positive (V7 probe).
 
-    Blobs are collected and broadcast (small: n_shards rows); the probe
-    itself is a mapInPandas pass — no shuffle of the candidate side.
+    ``mode="broadcast"``: blobs are collected and broadcast (small:
+    n_shards rows); the probe itself is a mapInPandas pass — no shuffle
+    of the candidate side.
+
+    ``mode="shard_join"``: the 10^10-URL path — no collect, no
+    broadcast. Candidates shuffle once on ``shard_id`` and meet their
+    shard's blob row in a cogrouped ``applyInPandas``; each blob is
+    shipped to exactly one task regardless of candidate count.
     """
+    if mode == "shard_join":
+        return _filter_unseen_bloom_shard_join(candidates, bloom_shards, n_shards)
+    if mode != "broadcast":
+        raise ValueError(f"unknown probe mode {mode!r} (expected 'broadcast' or 'shard_join')")
     spark = candidates.sparkSession
     blobs = {
         r["shard_id"]: (r["bloom_bytes"], r["n_bits"], r["n_hashes"])
@@ -265,3 +307,128 @@ def filter_unseen_bloom(
             yield pdf[keep]
 
     return candidates.mapInPandas(_probe, schema=schema)
+
+
+def _filter_unseen_bloom_shard_join(
+    candidates: DataFrame, bloom_shards: DataFrame, n_shards: int
+) -> DataFrame:
+    """Shard-join probe: cogroup candidates×blobs on shard_id.
+
+    One shuffle of the candidate side (by ``pmod(url_hash, n_shards)``),
+    zero driver materialization — the scale path once the blob table
+    outgrows broadcast (~12 GB at 10^10 URLs / 1% FPP). Shards with no
+    blob row pass their candidates through unchanged, so an empty filter
+    is a correct no-op.
+    """
+    out_cols = candidates.columns
+    schema = candidates.schema
+    cand = candidates.withColumn(
+        "__shard_id", F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int")
+    )
+    blobs = bloom_shards.withColumnRenamed("shard_id", "__shard_id")
+
+    def _probe(cand_pdf: pd.DataFrame, blob_pdf: pd.DataFrame) -> pd.DataFrame:
+        out = cand_pdf[out_cols]
+        if not len(cand_pdf) or not len(blob_pdf):
+            return out
+        blob = blob_pdf["bloom_bytes"].iloc[0]
+        n_bits = int(blob_pdf["n_bits"].iloc[0])
+        n_hashes = int(blob_pdf["n_hashes"].iloc[0])
+        h = cand_pdf["url_hash"].to_numpy(dtype=np.int64)
+        keep = ~bloom_probe_bytes(blob, h, n_bits, n_hashes)
+        return out[keep]
+
+    return (
+        cand.groupBy("__shard_id")
+        .cogroup(blobs.groupBy("__shard_id"))
+        .applyInPandas(_probe, schema=schema)
+    )
+
+
+def build_bloom_delta_shards(
+    delta: DataFrame, n_shards: int, n_bits: int, n_hashes: int
+) -> DataFrame:
+    """delta(url_hash, ...) → one FIXED-geometry blob row per non-empty
+    shard. Unlike :func:`build_bloom_shards` (which sizes each shard to
+    its own count), the geometry is pinned to the caller's filter so the
+    output blobs are OR-compatible with an existing shard table."""
+
+    def _build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["url_hash"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "shard_id": [key[0]],
+                "bloom_bytes": [bloom_build_bytes(h, n_bits, n_hashes)],
+                "n_items": [len(h)],
+                "n_bits": [n_bits],
+                "n_hashes": [n_hashes],
+            }
+        )
+
+    return (
+        delta.select("url_hash")
+        .withColumn("shard_id", F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int"))
+        .groupBy("shard_id")
+        .applyInPandas(_build, schema=BLOOM_SCHEMA)
+    )
+
+
+def update_bloom_shards(
+    delta: DataFrame,
+    bloom_shards: DataFrame,
+    n_shards: int,
+    n_bits: int,
+    n_hashes: int,
+) -> DataFrame:
+    """Distributed seen-update: OR the per-iteration delta of new
+    url_hashes into the existing blob table, fully executor-side.
+
+    Cogroup on shard_id: each task gets its shard's delta hashes plus
+    the (single) existing blob row and emits the merged blob. Shards
+    present on either side survive (cogroup is full-outer over keys), so
+    untouched shards pass through and brand-new shards are created with
+    the pinned geometry. The driver never sees a hash or a blob —
+    this is the update twin of the shard_join probe.
+
+    Existing blob rows must share the pinned (n_bits, n_hashes)
+    geometry (enforced); bits are only ever set, never cleared.
+    """
+
+    d = delta.select("url_hash").withColumn(
+        "__shard_id", F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int")
+    )
+    b = bloom_shards.withColumnRenamed("shard_id", "__shard_id")
+
+    def _merge(key, d_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(b_pdf):
+            if int(b_pdf["n_bits"].iloc[0]) != n_bits or int(b_pdf["n_hashes"].iloc[0]) != n_hashes:
+                raise ValueError(
+                    f"shard {key[0]}: blob geometry "
+                    f"({int(b_pdf['n_bits'].iloc[0])}, {int(b_pdf['n_hashes'].iloc[0])}) "
+                    f"!= pinned ({n_bits}, {n_hashes})"
+                )
+            bits = np.frombuffer(b_pdf["bloom_bytes"].iloc[0], dtype=np.uint8).copy()
+            n_items = int(b_pdf["n_items"].iloc[0])
+        else:
+            bits = np.zeros(n_bits // 8, dtype=np.uint8)
+            n_items = 0
+        if len(d_pdf):
+            h = d_pdf["url_hash"].to_numpy(dtype=np.int64)
+            pos = _positions(h, n_bits, n_hashes)
+            np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+            n_items += len(h)
+        return pd.DataFrame(
+            {
+                "shard_id": [key[0]],
+                "bloom_bytes": [bits.tobytes()],
+                "n_items": [n_items],
+                "n_bits": [n_bits],
+                "n_hashes": [n_hashes],
+            }
+        )
+
+    return (
+        d.groupBy("__shard_id")
+        .cogroup(b.groupBy("__shard_id"))
+        .applyInPandas(_merge, schema=BLOOM_SCHEMA)
+    )

@@ -151,17 +151,37 @@ class CrawlEngine:
         host_budget: int = 10,
         seen_mode: str = "exact",
         n_bloom_shards: int = 32,
+        bloom_impl: str = "driver",
+        bloom_delta_driver_limit: int = 2_000_000,
         salt_rows: int = 50_000,
         detailed_metrics: bool = True,
         expected_urls: int = 2_000_000,
         iteration_window_ms: int = 60_000,
         max_retries: int = 2,
     ) -> None:
+        """``bloom_impl`` picks the seen-set machinery in bloom mode:
+
+        - ``"driver"`` — blobs live in driver memory (BloomShards),
+          probe broadcasts them; per-iteration deltas are pulled with
+          pyarrow while they stay under ``bloom_delta_driver_limit``
+          rows, else built distributed (build_bloom_delta_shards) and
+          OR-merged as blob rows. Right while blobs fit the driver.
+        - ``"table"`` — the 10^10-URL path: blobs live ONLY as a
+          checkpointed state table. Probe = shard-join cogroup, update
+          = distributed OR-merge (update_bloom_shards); the driver
+          never materializes a hash or a blob.
+        """
         self.spark = spark
         self.year = year
         self.host_budget = host_budget
         self.seen_mode = seen_mode
         self.n_bloom_shards = n_bloom_shards
+        self.bloom_impl = bloom_impl
+        self.bloom_delta_driver_limit = bloom_delta_driver_limit
+        self._bloom_geom = seen_mod._bloom_params(
+            max(1, expected_urls // n_bloom_shards), 0.01
+        )
+        self._bloom_table: DataFrame | None = None
         self.salt_rows = salt_rows
         self.detailed_metrics = detailed_metrics
         self.max_retries = max_retries
@@ -215,7 +235,14 @@ class CrawlEngine:
             seen = self._read(done[-1], "seen")
             if self.seen_mode == "bloom":
                 shard_dir = os.path.join(self._iter_dir(done[-1]), "seen_shards")
-                if os.path.isdir(shard_dir):
+                if self.bloom_impl == "table":
+                    if os.path.isdir(shard_dir):
+                        self._bloom_table = self.spark.read.parquet(shard_dir)
+                    else:  # legacy checkpoint: rebuild distributed
+                        self._bloom_table = seen_mod.build_bloom_delta_shards(
+                            seen, self.n_bloom_shards, *self._bloom_geom
+                        )
+                elif os.path.isdir(shard_dir):
                     self._shards = seen_mod.BloomShards.read(shard_dir)
                 else:  # legacy checkpoint: rebuild from the exact table
                     self._shards = seen_mod.BloomShards.sized(
@@ -232,9 +259,11 @@ class CrawlEngine:
             frontier = self._initial_frontier()
             seen = self.spark.createDataFrame([], seen_mod.SEEN_SCHEMA)
             if self.seen_mode == "bloom":
-                self._shards = seen_mod.BloomShards.sized(
-                    self.expected_urls, n_shards=self.n_bloom_shards
-                )
+                self._bloom_table = None  # empty until the first update
+                if self.bloom_impl != "table":
+                    self._shards = seen_mod.BloomShards.sized(
+                        self.expected_urls, n_shards=self.n_bloom_shards
+                    )
 
         totals = {"scheduled": 0, "parsed": 0, "iterations": 0}
         for k in range(start, max_iterations):
@@ -269,9 +298,18 @@ class CrawlEngine:
         cand = sched.dedup_candidates(frontier)
         if self.seen_mode == "bloom":
             # incremental shards: probe only (empty filter passes all)
-            unseen = (
-                self._shards.filter_unseen(cand) if self._shards.blobs else cand
-            )
+            if self.bloom_impl == "table":
+                unseen = (
+                    seen_mod.filter_unseen_bloom(
+                        cand, self._bloom_table, self.n_bloom_shards, mode="shard_join"
+                    )
+                    if self._bloom_table is not None
+                    else cand
+                )
+            else:
+                unseen = (
+                    self._shards.filter_unseen(cand) if self._shards.blobs else cand
+                )
         else:
             unseen = seen_mod.filter_unseen_exact(cand, seen)
 
@@ -377,17 +415,52 @@ class CrawlEngine:
             .dropDuplicates(["url_hash"]),
             "seen",
         )
+        n_fetch_miss = _col_sum_false(pl_path, "fetched")
         if self.seen_mode == "bloom":
-            # incremental shard update: OR this iteration's delta into the
-            # fixed-capacity blobs (pyarrow column read + numpy; no job)
-            delta = np.concatenate(
-                [
-                    _read_col(pl_path, "url_hash", "fetched", True),
-                    _read_col(cand_path, "url_hash", "robots_ok", False),
-                ]
-            ).astype(np.int64)
-            self._shards.add_hashes(delta)
-            self._shards.write(os.path.join(tmp, "seen_shards"))
+            n_delta = (n_sched - n_fetch_miss) + n_disallowed
+            if self.bloom_impl == "table":
+                # distributed OR-merge: delta hashes cogroup with the
+                # existing blob rows; driver touches neither
+                delta_df = (
+                    pl_rb.filter(F.col("fetched"))
+                    .select("url_hash")
+                    .unionByName(cand_rb.filter(~F.col("robots_ok")).select("url_hash"))
+                )
+                base = self._bloom_table
+                if base is None:
+                    base = self.spark.createDataFrame([], seen_mod.BLOOM_SCHEMA)
+                _write(
+                    seen_mod.update_bloom_shards(
+                        delta_df, base, self.n_bloom_shards, *self._bloom_geom
+                    ),
+                    "seen_shards",
+                )
+            elif n_delta > self.bloom_delta_driver_limit:
+                # big delta: build fixed-geometry delta blobs distributed
+                # and OR-merge the (bounded-size) blob rows — the driver
+                # never pulls raw hashes
+                delta_df = (
+                    pl_rb.filter(F.col("fetched"))
+                    .select("url_hash")
+                    .unionByName(cand_rb.filter(~F.col("robots_ok")).select("url_hash"))
+                )
+                self._shards.add_blob_rows(
+                    seen_mod.build_bloom_delta_shards(
+                        delta_df, self.n_bloom_shards,
+                        self._shards.n_bits, self._shards.n_hashes,
+                    ).collect()
+                )
+                self._shards.write(os.path.join(tmp, "seen_shards"))
+            else:
+                # small delta: pyarrow column read + numpy OR (no job)
+                delta = np.concatenate(
+                    [
+                        _read_col(pl_path, "url_hash", "fetched", True),
+                        _read_col(cand_path, "url_hash", "robots_ok", False),
+                    ]
+                ).astype(np.int64)
+                self._shards.add_hashes(delta)
+                self._shards.write(os.path.join(tmp, "seen_shards"))
 
         counts = {
             "iteration": k,
@@ -395,7 +468,7 @@ class CrawlEngine:
             "scheduled": n_sched,
             "parsed": n_parsed,
             "skipped_robots": n_disallowed,
-            "fetch_misses": _col_sum_false(pl_path, "fetched"),
+            "fetch_misses": n_fetch_miss,
             "frontier_next": _count_parquet(frontier_path),
             "seen_total": _count_parquet(seen_path),
         }
@@ -438,6 +511,8 @@ class CrawlEngine:
         os.rename(tmp, final)  # atomic commit
 
         # read back committed state (cuts lineage like Iceberg snapshot reads)
+        if self.seen_mode == "bloom" and self.bloom_impl == "table":
+            self._bloom_table = self._read(k, "seen_shards")
         return self._read(k, "frontier"), self._read(k, "seen"), counts
 
     # -- readers over the full run --------------------------------------------

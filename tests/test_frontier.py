@@ -53,7 +53,7 @@ def mirror_result(fixture):
     )
 
 
-def _run_engine(spark, fixture, tmp, seen_mode="exact", resume_at=None):
+def _run_engine(spark, fixture, tmp, seen_mode="exact", resume_at=None, **kw):
     engine = CrawlEngine(
         spark,
         pages_spark_df(spark, fixture),
@@ -65,6 +65,7 @@ def _run_engine(spark, fixture, tmp, seen_mode="exact", resume_at=None):
         seen_mode=seen_mode,
         salt_rows=40,  # force salting paths to exercise at fixture scale
         iteration_window_ms=WINDOW_MS,
+        **kw,
     )
     if resume_at is not None:
         engine.run(max_iterations=resume_at)
@@ -150,6 +151,52 @@ def test_engine_matches_mirror_bloom(spark, fixture, mirror_result, tmp_path):
     # principle but the fixture is small vs the filter size, and the
     # property test in test_seen.py guarantees no false negatives.
     engine = _run_engine(spark, fixture, tmp_path / "ckb", seen_mode="bloom")
+    _assert_matches_mirror(engine, mirror_result, fixture)
+
+
+def test_engine_matches_mirror_bloom_table(spark, fixture, mirror_result, tmp_path, monkeypatch):
+    """bloom_impl='table' (shard-join probe + distributed OR-merge
+    update) matches the mirror AND never pulls url hashes to the driver:
+    the pyarrow column reader is poisoned for the whole run."""
+    from pubcrawler_spark.plans import frontier as frontier_mod
+
+    def _boom(*a, **k):
+        raise AssertionError("driver materialized url hashes in table mode")
+
+    monkeypatch.setattr(frontier_mod, "_read_col", _boom)
+    engine = _run_engine(
+        spark, fixture, tmp_path / "ckt", seen_mode="bloom", bloom_impl="table"
+    )
+    _assert_matches_mirror(engine, mirror_result, fixture)
+    # the committed shard table is loadable by BOTH impls (same layout)
+    import os
+    k = engine.committed_iterations()[-1]
+    shard_dir = os.path.join(engine._iter_dir(k), "seen_shards")
+    assert spark.read.parquet(shard_dir).count() > 0
+
+
+def test_bloom_table_resume(spark, fixture, mirror_result, tmp_path):
+    engine = _run_engine(
+        spark, fixture, tmp_path / "cktr", seen_mode="bloom", bloom_impl="table",
+        resume_at=2,
+    )
+    _assert_matches_mirror(engine, mirror_result, fixture)
+
+
+def test_bloom_driver_distributed_delta(spark, fixture, mirror_result, tmp_path, monkeypatch):
+    """Driver impl past the delta-size gate (forced to 0): deltas are
+    built distributed and OR-merged as blob rows — same schedule, and
+    the raw-hash pull path is never taken."""
+    from pubcrawler_spark.plans import frontier as frontier_mod
+
+    def _boom(*a, **k):
+        raise AssertionError("driver pulled raw hashes past the delta gate")
+
+    monkeypatch.setattr(frontier_mod, "_read_col", _boom)
+    engine = _run_engine(
+        spark, fixture, tmp_path / "ckg", seen_mode="bloom",
+        bloom_delta_driver_limit=0,
+    )
     _assert_matches_mirror(engine, mirror_result, fixture)
 
 
