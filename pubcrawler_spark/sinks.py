@@ -15,6 +15,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 PREFERRED_COLS = ["title", "authors", "abstract", "pdf_url", "keywords", "source_url"]
@@ -36,12 +37,15 @@ def write_papers_csv(df: DataFrame, path: str, partition_cols=("conference", "ye
 
 
 def build_posting_table(
-    df: DataFrame, id_col: str, text_cols=("title", "authors", "abstract")
+    df: DataFrame, id_col: str, text_cols=("title", "authors", "abstract"),
+    stem: bool = False,
 ) -> DataFrame:
-    """K4: (term, doc, col, tf) posting rows — tokenize + explode.
-
-    Porter stemming is an SQLite implementation detail, not a semantic
-    contract (SURVEY.md §1.1); exact lowercase word terms here.
+    """K4: (term, doc, col, tf[, term_stem]) posting rows — tokenize +
+    explode. With ``stem=True`` a porter-stemmed ``term_stem`` column is
+    added (the FTS5 ``tokenize='porter'`` analog, indexer.py:36), so
+    "transformers" matches "transformer" via equality on the stemmed
+    column; ``term`` stays exact for the oracle-checked exact-match
+    surface. Stemming runs once per distinct term per Arrow batch.
     """
     parts = []
     for c in text_cols:
@@ -58,7 +62,16 @@ def build_posting_table(
     union = parts[0]
     for p in parts[1:]:
         union = union.unionByName(p)
-    return union.groupBy("term", "doc", "col").agg(F.count("*").alias("tf"))
+    out = union.groupBy("term", "doc", "col").agg(F.count("*").alias("tf"))
+    if stem:
+        from pubcrawler_spark.functions.stem import stem_batch
+
+        @F.pandas_udf("string")
+        def _stem(terms: pd.Series) -> pd.Series:
+            return stem_batch(terms)
+
+        out = out.withColumn("term_stem", _stem(F.col("term")))
+    return out
 
 
 def term_lookup(postings: DataFrame, term: str, col: str | None = None) -> DataFrame:
@@ -67,6 +80,15 @@ def term_lookup(postings: DataFrame, term: str, col: str | None = None) -> DataF
     if col is not None:
         out = out.filter(F.col("col") == col)
     return out.select("doc").distinct()
+
+
+def sanitize_filename(col, suffix: str = ".pdf", max_len: int = 100):
+    """P10: safe filename from a title (processor.py:30-35) — strip the
+    reference's invalid-character class, truncate to ``max_len``, append
+    the suffix. Pure expression (substring is codepoint-based, matching
+    the reference's Python slice)."""
+    cleaned = F.regexp_replace(col, r'[\\/*?:"<>|]', "")
+    return F.concat(F.substring(cleaned, 1, max_len), F.lit(suffix))
 
 
 def write_embeddings(df: DataFrame, path: str, n_buckets: int = 64) -> None:

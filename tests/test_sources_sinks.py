@@ -113,3 +113,52 @@ def test_posting_table_and_lookup(spark):
     assert both == {"d2"}  # 'nets' appears in d2 title+abstract only
     tf = {(r["doc"], r["col"]): r["tf"] for r in postings.filter("term = 'vision'").collect()}
     assert tf[("d1", "abstract")] == 1 and tf[("d1", "title")] == 1
+
+
+def test_sanitize_filename(spark):
+    df = spark.createDataFrame(
+        [('A/B: "Quoted" <Title>? x*y|z\\w',), ("t" * 150,), ("plain title",)],
+        "title string",
+    )
+    got = [r[0] for r in df.select(sinks.sanitize_filename(sinks.F.col("title"))).collect()]
+    # reference re.sub(r'[\\/*?:"<>|]', "") + 100-char truncate + '.pdf'
+    import re
+    want = []
+    for t in ['A/B: "Quoted" <Title>? x*y|z\\w', "t" * 150, "plain title"]:
+        s = re.sub(r'[\\/*?:"<>|]', "", t)
+        want.append((s[:100] + ".pdf") if len(s) > 100 else (s + ".pdf"))
+    assert got == want
+
+
+def test_file_catalog_classifier(spark, tmp_path):
+    """S9: path-pattern classification mirrors streamlit_app.py:103-127."""
+    import os
+
+    from pubcrawler_spark.sources import catalog
+
+    meta = tmp_path / "metadata"
+    trends = tmp_path / "trends"
+    files = {
+        # rule 1: summary table under analysis/
+        meta / "ACL" / "2024" / "analysis" / "4_summary_table_final.csv": ("summary_table", "ACL", "2024"),
+        # rule 2: raw data dump
+        meta / "ICLR" / "2023" / "papers_data_main.csv": ("raw_data", "ICLR", "2023"),
+        # rule 3: other analysis file
+        meta / "CVPR" / "2022" / "analysis" / "topic_trends.csv": ("analysis_other", "CVPR", "2022"),
+        # rule 4: trends/<conf>/x.csv
+        trends / "NeurIPS" / "keyword_trends.csv": ("trends", "NeurIPS", "Cross-Year"),
+    }
+    for p in files:
+        os.makedirs(p.parent, exist_ok=True)
+        p.write_text("a,b\n1,2\n")
+    # unclassifiable files are dropped (too-shallow path / wrong depth)
+    (meta / "stray.csv").write_text("x\n")
+    (trends / "too" / "deep" / "nested.csv").parent.mkdir(parents=True)
+    (trends / "too" / "deep" / "nested.csv").write_text("x\n")
+
+    listed = catalog.list_csv_files(spark, str(meta), str(trends))
+    got = {
+        r["path"]: (r["csv_type"], r["conference"], r["year"])
+        for r in catalog.classify_output_files(listed).collect()
+    }
+    assert got == {str(p): v for p, v in files.items()}
