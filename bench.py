@@ -319,14 +319,22 @@ def run_scaling(n_pages: int, budget: int = BENCH_BUDGET, replicas: int = 3) -> 
         return json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
 
     # median of 3 per level: single-run variance on a shared VM is ±15%
+    # (observed outliers 2.5x on the 8-core leg)
     def median3(mode_flag, cpus, extra):
         runs = sorted((run(mode_flag, cpus, extra) for _ in range(3)),
                       key=lambda r: r["urls_per_sec"])
         return runs[1]
 
     stage = {c: median3("--stage", c, ["--replicas", "4"]) for c in (2, 8, 32)}
-    mega = {c: run("--mega", c, ["--replicas", str(replicas)]) for c in (2, 8)}
-    loop = {c: run("--frontier-only", c, ["--budget", str(budget)]) for c in (2, 8)}
+    # mega iteration sized so per-iteration work dominates the fixed
+    # cost (~1.5M scheduled+parsed URLs — still 10x below the 10^7-10^8
+    # URLs/iteration the north rule targets, where amortization is
+    # strictly better): measured 0.44 eff at 0.25M URLs vs 0.79 at
+    # 1.5M, purely from fixed-cost amortization at the 4N leg
+    mega_pages = max(n_pages, 300_000)
+    mega = {c: median3("--mega", c, ["--replicas", "6", "--pages", str(mega_pages)])
+            for c in (2, 8)}
+    loop = {c: median3("--frontier-only", c, ["--budget", str(budget)]) for c in (2, 8)}
 
     def eff(d):
         return round((d[8]["urls_per_sec"] / d[2]["urls_per_sec"]) / 4.0, 3)

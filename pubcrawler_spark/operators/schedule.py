@@ -152,6 +152,8 @@ def pick_schedule(
     iteration: int,
     salt_rows: int = 50_000,
     host_budgets: DataFrame | None = None,
+    size_hint: int | None = None,
+    serial_limit: int = 2_000_000,
 ) -> DataFrame:
     """Per-host top-k (k = ``host_budget``, reduced per host by
     ``host_budgets.max_per_iter`` where present) then a deterministic
@@ -200,6 +202,8 @@ def pick_schedule(
         order_col_names=["priority", "depth", "disc_seq", "url_hash"],
         descending={"priority"},
         key_col="url_canon",
+        size_hint=size_hint,
+        serial_limit=serial_limit,
     ).withColumn("iteration", F.lit(iteration))
 
 
@@ -209,14 +213,27 @@ def global_sequence(
     descending: set[str],
     key_col: str,
     out_col: str = "seq",
+    size_hint: int | None = None,
+    serial_limit: int = 2_000_000,
 ) -> DataFrame:
-    """Deterministic dense 0-based global rank over a total order:
-    a SLIM (key + order columns) projection is ranked through one
-    single-partition window, then the ranks are joined back to the wide
-    input by ``key_col`` — a distributed join, so every downstream stage
-    keeps full parallelism. Only the ~40-byte slim rows serialize
-    through the one sort task (see the inline comment for the scale
-    envelope and why the two-phase range-partitioned rank was rejected).
+    """Deterministic dense 0-based global rank over a total order.
+
+    Two physical strategies, gated by ``size_hint`` (an upper bound the
+    caller knows for free, e.g. the candidate count from parquet
+    footers):
+
+    - **slim single-sort** (default / ≤ ``serial_limit``): a SLIM
+      (key + order columns) projection is ranked through one
+      single-partition window, then joined back distributed. Only the
+      ~40-byte slim rows serialize through the one sort task; every
+      downstream stage keeps full parallelism via the join.
+    - **pinned two-phase range rank** (> ``serial_limit``): see
+      :func:`_global_sequence_ranged` — no serial stage at all; this is
+      the 10^8-row path.
+
+    Both produce the IDENTICAL (key → rank) mapping: the rank is a
+    property of the total order, not of the physical plan (the range
+    boundaries only decide which task computes which slice).
 
     ``order_col_names`` must form a total order and ``key_col`` must be
     unique per row.
@@ -229,17 +246,8 @@ def global_sequence(
         F.col(c).desc() if c in descending else F.col(c).asc()
         for c in order_col_names
     ]
-    # Rank a SLIM projection (key + order cols, ~40 bytes/row) through a
-    # single-partition window, then join the ranks back distributed.
-    # Only the slim rows serialize through one task — a 10M-row schedule
-    # is ~400 MB through one sort (~seconds); the wide columns and all
-    # downstream stages keep full parallelism via the join. This is
-    # sampling-free and therefore exactly deterministic. (A two-phase
-    # range-partitioned rank drops the serial sort for >10^8-row
-    # schedules, but needs its intermediates pinned — AQE can coalesce
-    # the range exchange differently per consumer branch, which we
-    # observed silently corrupting partition-id offsets; the slim
-    # single-sort is the safer default at every realistic budget.)
+    if size_hint is not None and size_hint > serial_limit:
+        return _global_sequence_ranged(df, order_col_names, order, key_col, out_col)
     w = Window.orderBy(*order)
     ranked = (
         df.select(key_col, *order_col_names)
@@ -247,3 +255,49 @@ def global_sequence(
         .select(key_col, out_col)
     )
     return df.join(ranked, key_col)
+
+
+def _global_sequence_ranged(
+    df: DataFrame, order_col_names: list[str], order: list, key_col: str, out_col: str
+) -> DataFrame:
+    """Two-phase distributed rank with the intermediate PINNED:
+
+    1. slim projection → ``repartitionByRange`` on the total order →
+       stamp ``spark_partition_id()`` as a DATA column → eager
+       ``localCheckpoint``. Pinning here is load-bearing: the two
+       consumers below would otherwise re-execute the range exchange
+       (re-sampled boundaries / AQE re-coalescing can shift partition
+       ids between executions — the corruption that sank the first
+       attempt). Checkpointing freezes the pid VALUES in the rows, so
+       both consumers see one consistent assignment.
+    2. per-pid counts → cumulative offsets (a window over the tiny
+       P-row table), local row_number per pid, rank = offset + rn − 1.
+    3. join ranks back by ``key_col``.
+
+    Cross-run determinism: sampled range boundaries may differ between
+    runs, but the (key → rank) mapping cannot — a row's rank is its
+    position in the total order, wherever the boundary slices land
+    (equal range-keys land in one partition, and the order is total, so
+    ranks never depend on the split).
+    """
+    slim = df.select(key_col, *order_col_names)
+    pinned = (
+        slim.repartitionByRange(*order)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = pinned.groupBy("__pid").agg(F.count("*").alias("__n"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).cast("long")
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*order)
+    ranks = (
+        pinned.withColumn("__rn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets.select("__pid", "__off")), "__pid")
+        .select(
+            key_col,
+            (F.col("__off") + F.col("__rn") - 1).cast("long").alias(out_col),
+        )
+    )
+    return df.join(ranks, key_col)

@@ -153,6 +153,8 @@ class CrawlEngine:
         n_bloom_shards: int = 32,
         bloom_impl: str = "driver",
         bloom_delta_driver_limit: int = 2_000_000,
+        fetch_broadcast_limit: int = 4_000_000,
+        seq_serial_limit: int = 2_000_000,
         salt_rows: int = 50_000,
         detailed_metrics: bool = True,
         expected_urls: int = 2_000_000,
@@ -178,10 +180,13 @@ class CrawlEngine:
         self.n_bloom_shards = n_bloom_shards
         self.bloom_impl = bloom_impl
         self.bloom_delta_driver_limit = bloom_delta_driver_limit
+        self.fetch_broadcast_limit = fetch_broadcast_limit
+        self.seq_serial_limit = seq_serial_limit
         self._bloom_geom = seen_mod._bloom_params(
             max(1, expected_urls // n_bloom_shards), 0.01
         )
         self._bloom_table: DataFrame | None = None
+        self._seen_total = 0  # cumulative ledger size in bloom mode
         self.salt_rows = salt_rows
         self.detailed_metrics = detailed_metrics
         self.max_retries = max_retries
@@ -234,22 +239,31 @@ class CrawlEngine:
             frontier = self._read(done[-1], "frontier")
             seen = self._read(done[-1], "seen")
             if self.seen_mode == "bloom":
+                # bloom seen dirs are per-iteration deltas (append ledger)
+                self._seen_total = sum(
+                    _count_parquet(os.path.join(self._iter_dir(k), "seen")) for k in done
+                )
                 shard_dir = os.path.join(self._iter_dir(done[-1]), "seen_shards")
                 if self.bloom_impl == "table":
                     if os.path.isdir(shard_dir):
                         self._bloom_table = self.spark.read.parquet(shard_dir)
-                    else:  # legacy checkpoint: rebuild distributed
+                    else:  # legacy checkpoint: rebuild distributed from the ledger
                         self._bloom_table = seen_mod.build_bloom_delta_shards(
-                            seen, self.n_bloom_shards, *self._bloom_geom
+                            self._read_all("seen"), self.n_bloom_shards, *self._bloom_geom
                         )
                 elif os.path.isdir(shard_dir):
                     self._shards = seen_mod.BloomShards.read(shard_dir)
-                else:  # legacy checkpoint: rebuild from the exact table
+                else:  # legacy checkpoint: rebuild from the seen ledger
                     self._shards = seen_mod.BloomShards.sized(
                         self.expected_urls, n_shards=self.n_bloom_shards
                     )
                     self._shards.add_hashes(
-                        _read_col(os.path.join(self._iter_dir(done[-1]), "seen"), "url_hash").astype(np.int64)
+                        np.concatenate(
+                            [
+                                _read_col(os.path.join(self._iter_dir(k), "seen"), "url_hash")
+                                for k in done
+                            ]
+                        ).astype(np.int64)
                     )
         else:
             if os.path.exists(self.ckpt):
@@ -258,6 +272,7 @@ class CrawlEngine:
             start = 0
             frontier = self._initial_frontier()
             seen = self.spark.createDataFrame([], seen_mod.SEEN_SCHEMA)
+            self._seen_total = 0
             if self.seen_mode == "bloom":
                 self._bloom_table = None  # empty until the first update
                 if self.bloom_impl != "table":
@@ -323,21 +338,29 @@ class CrawlEngine:
         allowed_rb = cand_rb.filter(F.col("robots_ok")).drop("robots_ok")
 
         # JOB 2: schedule → fetch join → parse, all in one pass.
-        # Fetch-join strategy: broadcast ONLY the schedule's url_canon
+        # Fetch-join strategy, size-gated on the candidate count (a
+        # known-from-footers upper bound on the schedule size): under
+        # fetch_broadcast_limit, broadcast ONLY the schedule's url_canon
         # keys as a semi-join filter into the cached corpus (keys are a
         # few bytes/URL — a full-schedule broadcast builds a large hash
-        # relation serially on the driver), parse the matching pages,
-        # then re-attach the schedule columns with a distributed join
-        # (AQE picks the strategy; at Iceberg scale both sides are
-        # bucketed by url_canon so this is a storage-partitioned join).
-        # The written table carries the schedule columns — `schedule`
-        # and `parsed` are projections.
+        # relation serially on the driver); past the limit the keys
+        # exceed broadcast, so it becomes a distributed shuffle semi-join
+        # (at Iceberg scale both sides are bucketed by url_canon, so
+        # this is a storage-partitioned join with no pages shuffle).
+        # Either way the schedule columns are re-attached with a
+        # distributed join and the written table carries them —
+        # `schedule` and `parsed` are projections.
         schedule = sched.pick_schedule(
             allowed_rb, self.host_budget, k,
             salt_rows=self.salt_rows, host_budgets=self.host_budgets,
+            size_hint=n_cand,  # footer count: upper bound on schedule rows
+            serial_limit=self.seq_serial_limit,
         )
+        fetch_keys = schedule.select("url_canon")
+        if n_cand <= self.fetch_broadcast_limit:
+            fetch_keys = F.broadcast(fetch_keys)
         hit_pages = self.pages.select("url_canon", "html").join(
-            F.broadcast(schedule.select("url_canon")), "url_canon", "left_semi"
+            fetch_keys, "url_canon", "left_semi"
         )
         parsed_pages = parse_pages(hit_pages, self.year, url_col="url_canon").select(
             "url_canon", "parsed"
@@ -405,16 +428,26 @@ class CrawlEngine:
         )
 
         # JOB 4: seen update = successfully fetched ∪ robots-disallowed
-        # ∪ previous (fetch misses stay un-seen so retries pass the
-        # seen filter; bloom shards have no deletes, so this ordering
-        # is load-bearing)
-        seen_path = _write(
+        # (fetch misses stay un-seen so retries pass the seen filter;
+        # bloom shards have no deletes, so this ordering is load-bearing).
+        # Bloom mode writes ONLY the delta — the seen table is an
+        # APPEND-ONLY ledger across iterations (Iceberg append), so the
+        # per-iteration cost is O(delta), not O(total): rewriting the
+        # full seen set every iteration is the rewrite-the-world
+        # anti-pattern at a 10^10-URL frontier. Exact mode keeps the
+        # full rewrite (its anti-join probe needs one consolidated
+        # table and it exists for fixture-scale determinism anyway).
+        delta_seen = (
             pl_rb.filter(F.col("fetched")).select("url_hash", "url_canon")
             .unionByName(cand_rb.filter(~F.col("robots_ok")).select("url_hash", "url_canon"))
-            .unionByName(seen)
-            .dropDuplicates(["url_hash"]),
-            "seen",
+            .dropDuplicates(["url_hash"])
         )
+        if self.seen_mode == "bloom":
+            seen_path = _write(delta_seen, "seen")
+        else:
+            seen_path = _write(
+                delta_seen.unionByName(seen).dropDuplicates(["url_hash"]), "seen"
+            )
         n_fetch_miss = _col_sum_false(pl_path, "fetched")
         if self.seen_mode == "bloom":
             n_delta = (n_sched - n_fetch_miss) + n_disallowed
@@ -470,8 +503,12 @@ class CrawlEngine:
             "skipped_robots": n_disallowed,
             "fetch_misses": n_fetch_miss,
             "frontier_next": _count_parquet(frontier_path),
-            "seen_total": _count_parquet(seen_path),
         }
+        if self.seen_mode == "bloom":
+            self._seen_total += _count_parquet(seen_path)
+            counts["seen_total"] = self._seen_total
+        else:
+            counts["seen_total"] = _count_parquet(seen_path)
 
         # metrics: lite mode writes the counters with pyarrow (no Spark
         # job); detailed mode adds per-partition lineage (JOB 5)
@@ -539,6 +576,9 @@ class CrawlEngine:
         return self._read_all("metrics")
 
     def final_seen(self) -> DataFrame:
+        if self.seen_mode == "bloom":
+            # the seen table is an append-only delta ledger in bloom mode
+            return self._read_all("seen").dropDuplicates(["url_hash"])
         k = self.committed_iterations()[-1]
         return self._read(k, "seen")
 

@@ -200,6 +200,16 @@ def test_bloom_driver_distributed_delta(spark, fixture, mirror_result, tmp_path,
     _assert_matches_mirror(engine, mirror_result, fixture)
 
 
+def test_fetch_join_non_broadcast_path(spark, fixture, mirror_result, tmp_path):
+    """Size gate forced to 0: the fetch join runs as a distributed
+    shuffle semi-join (the past-broadcast scale path) — same schedule,
+    same parses."""
+    engine = _run_engine(
+        spark, fixture, tmp_path / "ckf", fetch_broadcast_limit=0
+    )
+    _assert_matches_mirror(engine, mirror_result, fixture)
+
+
 def test_resume_equals_uninterrupted(spark, fixture, mirror_result, tmp_path):
     engine = _run_engine(spark, fixture, tmp_path / "ckr", resume_at=2)
     _assert_matches_mirror(engine, mirror_result, fixture)

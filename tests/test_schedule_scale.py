@@ -48,6 +48,47 @@ def test_global_sequence_dense_unique_deterministic(spark):
     assert prios == sorted(prios, reverse=True)
 
 
+def test_global_sequence_ranged_equals_serial(spark):
+    """The pinned two-phase range rank (the >serial_limit path) produces
+    the IDENTICAL (key → seq) mapping as the slim single-sort, and
+    stays dense/deterministic across recomputation."""
+    df = _frontier(spark, 150_000).withColumnRenamed("seq", "disc_seq")
+    args = dict(
+        order_col_names=["priority", "depth", "disc_seq", "url_hash"],
+        descending={"priority"},
+        key_col="url_canon",
+    )
+    serial = sched.global_sequence(df, **args)
+    ranged = sched.global_sequence(df, **args, size_hint=150_000, serial_limit=1)
+    assert (
+        serial.select("url_canon", "seq")
+        .exceptAll(ranged.select("url_canon", "seq"))
+        .count()
+        == 0
+    )
+    n = df.count()
+    stats = ranged.agg(
+        F.count("*").alias("n"), F.countDistinct("seq").alias("d"),
+        F.min("seq").alias("mn"), F.max("seq").alias("mx"),
+    ).collect()[0]
+    assert (stats["n"], stats["d"], stats["mn"], stats["mx"]) == (n, n, 0, n - 1)
+    # recomputation is stable (pinned intermediate, total order)
+    again = sched.global_sequence(df, **args, size_hint=150_000, serial_limit=1)
+    assert ranged.select("url_canon", "seq").exceptAll(again.select("url_canon", "seq")).count() == 0
+
+
+def test_pick_schedule_ranged_path_matches_serial(spark):
+    """pick_schedule with a size_hint past the serial limit (forces the
+    two-phase rank inside the engine path) matches the default plan."""
+    df = _frontier(spark, 60_000)
+    base = {(r["url_canon"], r["seq"]) for r in
+            sched.pick_schedule(df, host_budget=50, iteration=0, salt_rows=1_000).collect()}
+    ranged = sched.pick_schedule(df, host_budget=50, iteration=0, salt_rows=1_000,
+                                 size_hint=10_000_000)
+    got = {(r["url_canon"], r["seq"]) for r in ranged.collect()}
+    assert got == base
+
+
 def test_salted_budget_exact_at_scale(spark):
     df = _frontier(spark, 60_000)
     out = sched.pick_schedule(df, host_budget=100, iteration=0, salt_rows=1_000)
