@@ -71,6 +71,21 @@ CUSTOM_STOPWORDS = [
 ALL_STOPWORDS = sorted(set(NLTK_STOPWORDS) | set(CUSTOM_STOPWORDS))
 
 
+def ensure_columns(df: DataFrame, required: list[str], fill: str = "") -> DataFrame:
+    """P3 column padding (indexer.py:71-78): every column in
+    ``required`` exists — missing ones are added as ``fill``, existing
+    string columns are null-coalesced to ``fill`` (the reference's
+    ``fillna('')``); output is ordered required-first, extras after."""
+    out = df
+    for c in required:
+        if c not in out.columns:
+            out = out.withColumn(c, F.lit(fill))
+        elif dict(out.dtypes)[c] == "string":
+            out = out.withColumn(c, F.coalesce(F.col(c), F.lit(fill)))
+    extras = [c for c in out.columns if c not in required]
+    return out.select(*required, *extras)
+
+
 def keyword_regex(keywords: list[str]) -> str:
     """trends.py:37: \\b(k1|k2|...)\\b, escaped, case-insensitive."""
     return r"(?i)\b(" + "|".join(re.escape(k) for k in keywords) + r")\b"

@@ -128,6 +128,75 @@ def lsh_bucket_topk(
     return cosine_topk(cands, qvec, k, id_col, vec_col)
 
 
+def _train_centroids(sample: np.ndarray, n_centroids: int, seed: int = 13, iters: int = 10) -> np.ndarray:
+    """Deterministic Lloyd k-means on L2-normalized vectors (seeded
+    init, fixed iteration count) — the IVF coarse quantizer. Trained on
+    a bounded sample, so training cost is constant in corpus size."""
+    rng = np.random.default_rng(seed)
+    m = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = m[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / max(float(np.linalg.norm(v)), 1e-12)
+    return cent
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    """Attach the nearest-centroid id (one Arrow pass). At scale this
+    column is PERSISTED and the table is bucketed/partitioned by it, so
+    a probe scans only the probed clusters' files (partition pruning) —
+    the inverted-file layout."""
+    cent_t = centroids.T.copy()
+
+    @F.pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cent_t, axis=1).astype(np.int32))
+
+    return emb.withColumn(out_col, _assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 13,
+    train_sample: int = 4096,
+) -> DataFrame:
+    """IVF approximate top-k (the other standard ANN scale path next to
+    LSH): coarse k-means quantizer → per-vector cluster assignment →
+    probe the ``n_probe`` centroids nearest the query → exact cosine
+    re-rank inside the probed clusters only. With ``n_probe ==
+    n_centroids`` this degrades to the exact scan (recall 1), giving a
+    tunable recall/cost dial; assignment and training are deterministic
+    (seeded), so results are stable across runs.
+    """
+    sample = np.stack(
+        [np.asarray(r[1], dtype=np.float64)
+         for r in emb.select(id_col, vec_col).orderBy(id_col).limit(train_sample).collect()]
+    )
+    cent = _train_centroids(sample, n_centroids, seed)
+    q = np.asarray(_qnorm(qvec), dtype=np.float64)
+    probe = np.argsort(-(cent @ q))[:n_probe].tolist()
+    assigned = ivf_assign(emb, cent, vec_col)
+    cands = assigned.filter(F.col("cluster_id").isin([int(p) for p in probe]))
+    return cosine_topk(cands, qvec, k, id_col, vec_col)
+
+
 def semantic_search(
     emb: DataFrame,
     docs: DataFrame,

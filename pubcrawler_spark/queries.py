@@ -618,6 +618,16 @@ def q24(spark, sf_dir):
     return ann.semantic_search(emb, docs.select("doc_id", "lang", "source", "n_chars"), list(qvec), k=10)
 
 
+@q("q35_ann_ivf_topk")  # k-means quantizer — rows-only (approximate path)
+def q35(spark, sf_dir):
+    """IVF ANN: seeded coarse k-means → cluster assignment (Arrow pass)
+    → probe nearest n_probe clusters → exact re-rank inside them. The
+    bucketed/partition-pruned counterpart of the LSH path (q22)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ann.ivf_topk(emb, list(qvec), k=10, n_centroids=16, n_probe=6)
+
+
 @q("q33_incremental_embed")  # murmur3 hash-encoder — rows-only
 def q33(spark, sf_dir):
     """V2 incremental embed pipeline (embedder_chroma.py:56-125 flow):
