@@ -221,6 +221,32 @@ def test_multimodal_plumbing(spark):
         multimodal.real_decode(b"x", "image/png")
 
 
+def test_multimodal_resize_and_frames(spark):
+    rows = multimodal.media_fixture_rows(48)
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    n_images = sum(1 for r in rows if r[1] == "image")
+    n_videos = sum(1 for r in rows if r[1] == "video")
+
+    resized = multimodal.resize_images(df, 32, 32).collect()
+    assert len(resized) == n_images
+    assert all(r["decode_ok"] and len(r["payload"]) == 32 * 32 * 3 for r in resized)
+    # deterministic across recomputation
+    again = {r["media_id"]: bytes(r["payload"]) for r in multimodal.resize_images(df, 32, 32).collect()}
+    assert all(again[r["media_id"]] == bytes(r["payload"]) for r in resized)
+
+    frames = multimodal.sample_frames(df, every_ms=250).collect()
+    # fixture videos are 1000 ms → ts 0,250,500,750 → 4 frames each
+    assert len(frames) == 4 * n_videos
+    by_vid = {}
+    for r in frames:
+        assert r["decode_ok"] and r["frame"] is not None
+        by_vid.setdefault(r["media_id"], []).append((r["frame_idx"], r["ts_ms"]))
+    assert all(sorted(v) == [(0, 0), (1, 250), (2, 500), (3, 750)] for v in by_vid.values())
+    # distinct frames from the same payload (frame_idx enters the fake)
+    one = [bytes(r["frame"]) for r in frames if r["media_id"] == min(by_vid)]
+    assert len(set(one)) == len(one)
+
+
 def test_streaming_ingest_and_rates(spark, tmp_path):
     from pubcrawler_spark.fixtures import PAGES_DDL, generate_pages, pages_spark_df
     from pubcrawler_spark.streaming import micro
