@@ -618,6 +618,61 @@ def q24(spark, sf_dir):
     return ann.semantic_search(emb, docs.select("doc_id", "lang", "source", "n_chars"), list(qvec), k=10)
 
 
+@q(
+    "q36_posting_table",
+    """
+    WITH toks AS (
+      SELECT doc_id AS doc, 'text' AS col,
+             unnest(string_split_regex(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+')) AS term
+      FROM documents
+      UNION ALL
+      SELECT doc_id AS doc, 'source' AS col,
+             unnest(string_split_regex(regexp_replace(lower(source), '[^\\w\\s]', ' ', 'g'), '\\s+')) AS term
+      FROM documents),
+    postings AS (
+      SELECT term, doc, col, COUNT(*) AS tf FROM toks WHERE length(term) > 0 GROUP BY 1,2,3)
+    SELECT term, col, COUNT(*) AS df, SUM(tf) AS total_tf
+    FROM postings GROUP BY term, col
+    ORDER BY df DESC, term, col LIMIT 100
+    """,
+)
+def q36(spark, sf_dir):
+    """K4 posting-table build under a SQL oracle: per-(term, col)
+    document frequency and total tf over the materialized posting rows
+    (the FTS index-build step as a first-class oracle-checked query)."""
+    from pubcrawler_spark import sinks
+
+    d = _t(spark, sf_dir, "documents")
+    postings = sinks.build_posting_table(d, "doc_id", text_cols=("text", "source"))
+    return (
+        postings.groupBy("term", "col")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("total_tf"))
+        .orderBy(F.desc("df"), "term", "col")
+        .limit(100)
+    )
+
+
+@q(
+    "q37_sanitize_filenames",
+    """
+    SELECT doc_id,
+           CASE WHEN length(regexp_replace(source, '[\\\\/*?:"<>|]', '', 'g')) > 100
+                THEN substr(regexp_replace(source, '[\\\\/*?:"<>|]', '', 'g'), 1, 100) || '.pdf'
+                ELSE regexp_replace(source, '[\\\\/*?:"<>|]', '', 'g') || '.pdf' END AS fname
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q37(spark, sf_dir):
+    """P10 filename sanitization under a SQL oracle (processor.py:30-35
+    semantics: strip the invalid-char class, truncate to 100, '.pdf')."""
+    from pubcrawler_spark import sinks
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", sinks.sanitize_filename(F.col("source")).alias("fname")
+    ).orderBy("doc_id")
+
+
 @q("q35_ann_ivf_topk")  # k-means quantizer — rows-only (approximate path)
 def q35(spark, sf_dir):
     """IVF ANN: seeded coarse k-means → cluster assignment (Arrow pass)
