@@ -60,3 +60,32 @@ def test_q03_fact_broadcast_dims(spark):
     # all four dims broadcast; the fact table shuffles at most for the agg
     assert p.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in p
+
+
+def test_q31_scans_posting_index_with_term_pushdown(spark):
+    """BM25 query plan must read the MATERIALIZED (tf, dl) index with
+    the query terms pushed into the parquet scan — and must not
+    re-tokenize the corpus (no Python nodes at query time)."""
+    p = _plan(spark, "q31_bm25_search")
+    # term filter reaches a parquet scan of the index
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l and "term" in l]
+    assert pushed, f"term filter not pushed to the index scan: {p[:2000]}"
+    # no corpus re-tokenization at query time
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_q32_lsh_neardup_is_equi_join(spark):
+    """The LSH near-dup candidates come from an EQUI join on
+    (band, bucket) — never a cartesian/nested-loop pair enumeration."""
+    p = _plan(spark, "q32_embedding_neardup_lsh")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p
+
+
+def test_q23_exact_neardup_is_the_small_scale_oracle(spark):
+    """Contrast check: exact mode IS the nested-loop all-pairs plan
+    (documented ≤10k-row oracle baseline), so the q32 assertion above
+    is meaningful."""
+    p = _plan(spark, "q23_embedding_neardup")
+    assert "BroadcastNestedLoopJoin" in p or "CartesianProduct" in p
