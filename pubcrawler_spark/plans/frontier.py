@@ -450,21 +450,20 @@ class CrawlEngine:
             )
         n_fetch_miss = _col_sum_false(pl_path, "fetched")
         if self.seen_mode == "bloom":
-            n_delta = (n_sched - n_fetch_miss) + n_disallowed
+            # the just-written seen table IS this iteration's delta
+            # (append-only ledger), so every update path reads it
+            # directly — no second pass over parsed/candidates
+            n_delta = _count_parquet(seen_path)
             if self.bloom_impl == "table":
                 # distributed OR-merge: delta hashes cogroup with the
                 # existing blob rows; driver touches neither
-                delta_df = (
-                    pl_rb.filter(F.col("fetched"))
-                    .select("url_hash")
-                    .unionByName(cand_rb.filter(~F.col("robots_ok")).select("url_hash"))
-                )
                 base = self._bloom_table
                 if base is None:
                     base = self.spark.createDataFrame([], seen_mod.BLOOM_SCHEMA)
                 _write(
                     seen_mod.update_bloom_shards(
-                        delta_df, base, self.n_bloom_shards, *self._bloom_geom
+                        _rb("seen").select("url_hash"), base,
+                        self.n_bloom_shards, *self._bloom_geom,
                     ),
                     "seen_shards",
                 )
@@ -472,27 +471,18 @@ class CrawlEngine:
                 # big delta: build fixed-geometry delta blobs distributed
                 # and OR-merge the (bounded-size) blob rows — the driver
                 # never pulls raw hashes
-                delta_df = (
-                    pl_rb.filter(F.col("fetched"))
-                    .select("url_hash")
-                    .unionByName(cand_rb.filter(~F.col("robots_ok")).select("url_hash"))
-                )
                 self._shards.add_blob_rows(
                     seen_mod.build_bloom_delta_shards(
-                        delta_df, self.n_bloom_shards,
+                        _rb("seen"), self.n_bloom_shards,
                         self._shards.n_bits, self._shards.n_hashes,
                     ).collect()
                 )
                 self._shards.write(os.path.join(tmp, "seen_shards"))
             else:
                 # small delta: pyarrow column read + numpy OR (no job)
-                delta = np.concatenate(
-                    [
-                        _read_col(pl_path, "url_hash", "fetched", True),
-                        _read_col(cand_path, "url_hash", "robots_ok", False),
-                    ]
-                ).astype(np.int64)
-                self._shards.add_hashes(delta)
+                self._shards.add_hashes(
+                    _read_col(seen_path, "url_hash").astype(np.int64)
+                )
                 self._shards.write(os.path.join(tmp, "seen_shards"))
 
         counts = {
