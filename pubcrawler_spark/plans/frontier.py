@@ -52,6 +52,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pubcrawler_spark.functions.urltools import with_canonical_url
+from pubcrawler_spark.operators import cuckoo as cuckoo_mod
 from pubcrawler_spark.operators import schedule as sched
 from pubcrawler_spark.operators import seen as seen_mod
 from pubcrawler_spark.operators.parse import parse_pages
@@ -161,7 +162,12 @@ class CrawlEngine:
         iteration_window_ms: int = 60_000,
         max_retries: int = 2,
     ) -> None:
-        """``bloom_impl`` picks the seen-set machinery in bloom mode:
+        """``seen_mode``: ``"exact"`` (anti-join), ``"bloom"`` (no false
+        negatives, no deletes), or ``"cuckoo"`` (same probe surface plus
+        DELETION — :meth:`mark_unseen` re-admits URLs for re-crawl,
+        which bloom cannot express; Fan et al. CoNEXT'14).
+
+        ``bloom_impl`` picks the seen-set machinery in bloom mode:
 
         - ``"driver"`` — blobs live in driver memory (BloomShards),
           probe broadcasts them; per-iteration deltas are pulled with
@@ -186,7 +192,9 @@ class CrawlEngine:
             max(1, expected_urls // n_bloom_shards), 0.01
         )
         self._bloom_table: DataFrame | None = None
-        self._seen_total = 0  # cumulative ledger size in bloom mode
+        self._cuckoo: "cuckoo_mod.CuckooShards | None" = None
+        self._probabilistic = seen_mode in ("bloom", "cuckoo")
+        self._seen_total = 0  # cumulative ledger size in bloom/cuckoo mode
         self.salt_rows = salt_rows
         self.detailed_metrics = detailed_metrics
         self.max_retries = max_retries
@@ -238,11 +246,28 @@ class CrawlEngine:
             start = done[-1] + 1
             frontier = self._read(done[-1], "frontier")
             seen = self._read(done[-1], "seen")
-            if self.seen_mode == "bloom":
-                # bloom seen dirs are per-iteration deltas (append ledger)
+            if self._probabilistic:
+                # bloom/cuckoo seen dirs are per-iteration deltas (append ledger)
                 self._seen_total = sum(
                     _count_parquet(os.path.join(self._iter_dir(k), "seen")) for k in done
                 )
+            if self.seen_mode == "cuckoo":
+                shard_dir = os.path.join(self._iter_dir(done[-1]), "cuckoo_shards")
+                if os.path.isdir(shard_dir):
+                    self._cuckoo = cuckoo_mod.CuckooShards.read(shard_dir)
+                else:  # legacy checkpoint: rebuild from the seen ledger
+                    self._cuckoo = cuckoo_mod.CuckooShards.sized(
+                        self.expected_urls, n_shards=self.n_bloom_shards
+                    )
+                    self._cuckoo.add_hashes(
+                        np.concatenate(
+                            [
+                                _read_col(os.path.join(self._iter_dir(k), "seen"), "url_hash")
+                                for k in done
+                            ]
+                        ).astype(np.int64)
+                    )
+            elif self.seen_mode == "bloom":
                 shard_dir = os.path.join(self._iter_dir(done[-1]), "seen_shards")
                 if self.bloom_impl == "table":
                     if os.path.isdir(shard_dir):
@@ -273,7 +298,11 @@ class CrawlEngine:
             frontier = self._initial_frontier()
             seen = self.spark.createDataFrame([], seen_mod.SEEN_SCHEMA)
             self._seen_total = 0
-            if self.seen_mode == "bloom":
+            if self.seen_mode == "cuckoo":
+                self._cuckoo = cuckoo_mod.CuckooShards.sized(
+                    self.expected_urls, n_shards=self.n_bloom_shards
+                )
+            elif self.seen_mode == "bloom":
                 self._bloom_table = None  # empty until the first update
                 if self.bloom_impl != "table":
                     self._shards = seen_mod.BloomShards.sized(
@@ -311,7 +340,9 @@ class CrawlEngine:
             return self.spark.read.parquet(os.path.join(tmp, name))
 
         cand = sched.dedup_candidates(frontier)
-        if self.seen_mode == "bloom":
+        if self.seen_mode == "cuckoo":
+            unseen = self._cuckoo.filter_unseen(cand) if self._cuckoo.shards else cand
+        elif self.seen_mode == "bloom":
             # incremental shards: probe only (empty filter passes all)
             if self.bloom_impl == "table":
                 unseen = (
@@ -442,14 +473,19 @@ class CrawlEngine:
             .unionByName(cand_rb.filter(~F.col("robots_ok")).select("url_hash", "url_canon"))
             .dropDuplicates(["url_hash"])
         )
-        if self.seen_mode == "bloom":
+        if self._probabilistic:
             seen_path = _write(delta_seen, "seen")
         else:
             seen_path = _write(
                 delta_seen.unionByName(seen).dropDuplicates(["url_hash"]), "seen"
             )
         n_fetch_miss = _col_sum_false(pl_path, "fetched")
-        if self.seen_mode == "bloom":
+        if self.seen_mode == "cuckoo":
+            # cuckoo shards: driver-held tables, delete-capable (the
+            # re-crawl path bloom cannot express); delta from the ledger
+            self._cuckoo.add_hashes(_read_col(seen_path, "url_hash").astype(np.int64))
+            self._cuckoo.write(os.path.join(tmp, "cuckoo_shards"))
+        elif self.seen_mode == "bloom":
             # the just-written seen table IS this iteration's delta
             # (append-only ledger), so every update path reads it
             # directly — no second pass over parsed/candidates
@@ -494,7 +530,7 @@ class CrawlEngine:
             "fetch_misses": n_fetch_miss,
             "frontier_next": _count_parquet(frontier_path),
         }
-        if self.seen_mode == "bloom":
+        if self._probabilistic:
             self._seen_total += _count_parquet(seen_path)
             counts["seen_total"] = self._seen_total
         else:
@@ -542,6 +578,17 @@ class CrawlEngine:
             self._bloom_table = self._read(k, "seen_shards")
         return self._read(k, "frontier"), self._read(k, "seen"), counts
 
+    def mark_unseen(self, url_hashes) -> int:
+        """Cuckoo-only re-crawl hook: delete the given url_hashes from
+        the seen filter so a future discovery re-schedules them (stale-
+        page refresh). Returns how many were actually removed. The next
+        committed iteration checkpoints the updated shards."""
+        if self.seen_mode != "cuckoo" or self._cuckoo is None:
+            raise ValueError("mark_unseen requires seen_mode='cuckoo'")
+        # note: the seen LEDGER keeps the URL (it is crawl history);
+        # only the filter — which governs scheduling — forgets it
+        return self._cuckoo.delete_hashes(np.asarray(url_hashes, dtype=np.int64))
+
     # -- readers over the full run --------------------------------------------
     # `parsed_links` carries the schedule columns (written once per
     # iteration); `schedule` and `parsed` are column-pruned projections.
@@ -566,8 +613,8 @@ class CrawlEngine:
         return self._read_all("metrics")
 
     def final_seen(self) -> DataFrame:
-        if self.seen_mode == "bloom":
-            # the seen table is an append-only delta ledger in bloom mode
+        if self._probabilistic:
+            # the seen table is an append-only delta ledger in bloom/cuckoo mode
             return self._read_all("seen").dropDuplicates(["url_hash"])
         k = self.committed_iterations()[-1]
         return self._read(k, "seen")

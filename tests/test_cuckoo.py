@@ -1,0 +1,115 @@
+"""Cuckoo-filter seen set (north rule 'bloom/cuckoo'; Fan et al. 2014):
+no false negatives, bounded FPP, DELETION (the bloom-impossible op),
+engine parity and the re-crawl hook."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pubcrawler_spark.operators.cuckoo import CuckooShard, CuckooShards
+
+
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=400))
+@settings(max_examples=40, deadline=None)
+def test_cuckoo_no_false_negatives(hashes):
+    h = np.array(hashes, dtype=np.int64)
+    s = CuckooShard.sized(len(h) + 8)
+    s.insert(h)
+    assert s.contains(h).all()
+
+
+def test_cuckoo_fpp_and_idempotence():
+    rng = np.random.default_rng(9)
+    inserted = rng.integers(-(2**63), 2**63 - 1, size=20_000, dtype=np.int64)
+    s = CuckooShard.sized(25_000)
+    s.insert(inserted)
+    s.insert(inserted)  # idempotent: re-insert must not overflow slots
+    assert s.contains(inserted).all()
+    probes = rng.integers(-(2**63), 2**63 - 1, size=50_000, dtype=np.int64)
+    fresh = probes[~np.isin(probes, inserted)]
+    fp = s.contains(fresh).mean()
+    # b=4, f=16 → theoretical ~1.2e-4; allow 5x headroom
+    assert fp < 6e-4, fp
+
+
+def test_cuckoo_delete_readmits():
+    rng = np.random.default_rng(11)
+    h = rng.integers(-(2**62), 2**62, size=5_000, dtype=np.int64)
+    s = CuckooShard.sized(6_000)
+    s.insert(h)
+    victims = h[:100]
+    removed = s.delete(victims)
+    assert removed.all()
+    assert not s.contains(victims).any()  # truly forgotten (modulo fp collisions with survivors)
+    assert s.contains(h[100:]).all()  # others untouched
+
+
+def test_cuckoo_overfull_raises():
+    rng = np.random.default_rng(13)
+    s = CuckooShard(8)  # 32 slots
+    with pytest.raises(RuntimeError):
+        s.insert(rng.integers(-(2**62), 2**62, size=500, dtype=np.int64))
+
+
+def test_cuckoo_shards_roundtrip_and_probe(spark, tmp_path):
+    from pubcrawler_spark.operators.seen import filter_unseen_exact
+
+    seen = spark.range(0, 5000).selectExpr(
+        "xxhash64(id) as url_hash", "cast(id as string) as url_canon"
+    )
+    cand = spark.range(4000, 10000).selectExpr(
+        "xxhash64(id) as url_hash", "cast(id as string) as url_canon"
+    )
+    shards = CuckooShards.sized(10_000, n_shards=8)
+    shards.add_hashes(np.array([r.url_hash for r in seen.collect()], dtype=np.int64))
+    exact = {r.url_canon for r in filter_unseen_exact(cand, seen).collect()}
+    got = {r.url_canon for r in shards.filter_unseen(cand).collect()}
+    assert got <= exact  # no false negatives
+    assert len(exact) - len(got) <= max(5, 0.001 * len(exact))  # tight FPP
+    # checkpoint round-trip preserves the probe exactly
+    shards.write(str(tmp_path / "ck"))
+    back = CuckooShards.read(str(tmp_path / "ck"))
+    got2 = {r.url_canon for r in back.filter_unseen(cand).collect()}
+    assert got2 == got
+
+
+def test_engine_cuckoo_matches_mirror(spark, tmp_path):
+    from pubcrawler_spark import refmirror as rm
+    from pubcrawler_spark.fixtures import YEAR, generate_pages, is_index_url, pages_spark_df, robots_spark_df
+    from pubcrawler_spark.plans.frontier import CrawlEngine
+
+    fx = generate_pages(200)
+    mirror = rm.mirror_crawl(
+        {r["url"]: r["html"] for r in fx.rows}, fx.seeds, fx.robots,
+        host_budget=6, max_iterations=3, year=YEAR,
+        index_url_pred=is_index_url, iteration_window_ms=10_000,
+    )
+    eng = CrawlEngine(
+        spark, pages_spark_df(spark, fx), robots_spark_df(spark, fx), fx.seeds,
+        checkpoint_dir=str(tmp_path / "ckc"), year=YEAR, host_budget=6,
+        seen_mode="cuckoo", iteration_window_ms=10_000,
+    )
+    eng.run(max_iterations=3)
+    got = [(r.iteration, r.seq, r.url_canon)
+           for r in eng.full_schedule().orderBy("iteration", "seq").collect()]
+    want = [(s["iteration"], s["seq"], s["url_canon"]) for s in mirror["schedule"]]
+    assert got == want
+    assert {r.url_canon for r in eng.final_seen().collect()} == mirror["seen"]
+
+    # re-crawl hook: forget one fetched URL → the filter passes it again
+    victim = eng.full_schedule().filter("fetched").orderBy("iteration", "seq").limit(1).collect()[0]
+    probe = spark.createDataFrame(
+        [(victim.url_hash, victim.url_canon)], "url_hash long, url_canon string"
+    )
+    assert eng._cuckoo.filter_unseen(probe).count() == 0  # currently seen
+    assert eng.mark_unseen([victim.url_hash]) == 1
+    assert eng._cuckoo.filter_unseen(probe).count() == 1  # re-admitted
+    # resume continues from checkpoint shards that still include it
+    with pytest.raises(ValueError):
+        CrawlEngine(
+            spark, pages_spark_df(spark, fx), robots_spark_df(spark, fx), fx.seeds,
+            checkpoint_dir=str(tmp_path / "ckc"), year=YEAR, seen_mode="exact",
+        ).mark_unseen([1])
