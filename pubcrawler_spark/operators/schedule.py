@@ -54,14 +54,21 @@ def dedup_candidates(frontier: DataFrame) -> DataFrame:
 
 
 def parse_robots_rules(robots: DataFrame) -> DataFrame:
-    """robots(host, robots_txt) -> (host, disallow array<string>, crawl_delay_ms int).
+    """robots(host, robots_txt) -> (host, disallow array<string>,
+    rules array<struct<pattern,allow>>, has_advanced boolean,
+    crawl_delay_ms int).
 
     Vectorized over distinct robots_txt values (hosts overwhelmingly
-    share a handful of robots shapes at scale).
+    share a handful of robots shapes at scale). ``disallow`` keeps the
+    plain Disallow prefixes (the pure-expression fast path);
+    ``rules`` carries the full RFC 9309 rule list (Allow + Disallow,
+    ``*``/``$`` wildcards) and ``has_advanced`` flags hosts that need
+    the longest-match evaluator (any Allow rule or wildcard pattern).
     """
 
-    def _parse_one(txt: str) -> tuple[list[str], int]:
-        active, dis, delay = False, [], 0
+    def _parse_one(txt: str) -> tuple[list[str], list[tuple[str, bool]], bool, int]:
+        active, dis, rules, delay = False, [], [], 0
+        advanced = False
         for line in (txt or "").splitlines():
             line = line.split("#", 1)[0].strip()
             if not line:
@@ -70,23 +77,36 @@ def parse_robots_rules(robots: DataFrame) -> DataFrame:
             key, val = key.strip().lower(), val.strip()
             if key == "user-agent":
                 active = val == "*"
-            elif key == "disallow" and active and val:
-                dis.append(val)
+            elif key in ("disallow", "allow") and active and val:
+                allow = key == "allow"
+                rules.append((val, allow))
+                if allow or "*" in val or val.endswith("$"):
+                    advanced = True
+                if not allow:
+                    dis.append(val)
             elif key == "crawl-delay" and active:
                 try:
                     delay = int(float(val) * 1000)
                 except ValueError:
                     pass
-        return dis, delay
+        return dis, rules, advanced, delay
 
-    @F.pandas_udf("struct<disallow: array<string>, crawl_delay_ms: int>")
+    @F.pandas_udf(
+        "struct<disallow: array<string>, "
+        "rules: array<struct<pattern: string, allow: boolean>>, "
+        "has_advanced: boolean, crawl_delay_ms: int>"
+    )
     def _parse(txts: pd.Series) -> pd.DataFrame:
         cache = {t: _parse_one(t) for t in txts.unique()}
         mapped = txts.map(cache)
         return pd.DataFrame(
             {
                 "disallow": mapped.str[0],
-                "crawl_delay_ms": mapped.str[1],
+                "rules": mapped.map(
+                    lambda r: [{"pattern": p, "allow": a} for p, a in r[1]]
+                ),
+                "has_advanced": mapped.str[2],
+                "crawl_delay_ms": mapped.str[3],
             }
         )
 
@@ -94,34 +114,100 @@ def parse_robots_rules(robots: DataFrame) -> DataFrame:
     return parsed.select(
         "host",
         F.col("__r.disallow").alias("disallow"),
+        F.col("__r.rules").alias("rules"),
+        F.col("__r.has_advanced").alias("has_advanced"),
         F.col("__r.crawl_delay_ms").alias("crawl_delay_ms"),
     )
 
 
-def tag_robots(frontier: DataFrame, robots_rules: DataFrame) -> DataFrame:
+def _robots_pattern_matches(path: str, pattern: str, _cache: dict = {}) -> bool:
+    """RFC 9309 path-pattern match: '*' any sequence, '$' end anchor,
+    otherwise prefix match. Compiled-regex cache per worker."""
+    import re as _re
+
+    rx = _cache.get(pattern)
+    if rx is None:
+        anchored = pattern.endswith("$")
+        body = pattern[:-1] if anchored else pattern
+        rx = _re.compile(
+            "^" + ".*".join(_re.escape(seg) for seg in body.split("*"))
+            + ("$" if anchored else "")
+        )
+        _cache[pattern] = rx
+    return rx.match(path) is not None
+
+
+def robots_allowed_rfc9309(path: str, rules) -> bool:
+    """Longest-match-wins rule evaluation (RFC 9309 §2.2.2): the
+    matching rule with the longest pattern decides; on a tie between an
+    Allow and a Disallow of equal length, Allow wins; no match ⇒
+    allowed."""
+    best_allow, best_dis = -1, -1
+    if rules is None:  # not `rules or []`: Arrow hands numpy arrays in
+        rules = []
+    for r in rules:
+        pattern = r["pattern"] if isinstance(r, dict) else r.pattern
+        allow = r["allow"] if isinstance(r, dict) else r.allow
+        if _robots_pattern_matches(path, pattern):
+            n = len(pattern)
+            if allow:
+                best_allow = max(best_allow, n)
+            else:
+                best_dis = max(best_dis, n)
+    return best_dis < 0 or best_allow >= best_dis
+
+
+def tag_robots(
+    frontier: DataFrame, robots_rules: DataFrame, advanced: bool = False
+) -> DataFrame:
     """Add ``robots_ok`` per robots rules (single pass — callers filter).
 
-    ``robots_rules`` is a per-host dim table — broadcast join, then a
-    pure-expression prefix test: path starts-with any disallow prefix
-    (F.exists over the array; no UDF).
+    ``robots_rules`` is a per-host dim table — broadcast join, then:
+
+    - fast path (``advanced=False``, correct while no host has Allow or
+      wildcard rules): a pure-expression prefix test — path starts-with
+      any Disallow prefix (``F.exists``; no UDF, whole-stage codegen);
+    - RFC 9309 path (``advanced=True``): longest-match-wins over the
+      full Allow/Disallow rule list with ``*``/``$`` wildcards,
+      evaluated in an Arrow-batched UDF ONLY for rows whose host has
+      advanced rules — plain-prefix hosts keep the pure expression.
+
+    Callers detect ``advanced`` once from the tiny rules dim
+    (``has_advanced`` column) rather than per batch.
     """
     with_path = frontier.withColumn(
         "__path",
         F.concat(F.lit("/"), F.coalesce(F.element_at(F.split(F.col("url_canon"), "://|/", 3), 3), F.lit(""))),
     )
+    drop_cols = [c for c in ("disallow", "rules", "has_advanced", "crawl_delay_ms")
+                 if c in robots_rules.columns]
     joined = with_path.join(F.broadcast(robots_rules), "host", "left")
     is_disallowed = F.when(
         F.col("disallow").isNotNull(),
         F.exists("disallow", lambda p: F.col("__path").startswith(p)),
     ).otherwise(F.lit(False))
-    return joined.withColumn("robots_ok", ~is_disallowed).drop(
-        "__path", "disallow", "crawl_delay_ms"
-    )
+    fast_ok = ~is_disallowed
+    if advanced:
+        @F.pandas_udf("boolean")
+        def _rfc_ok(paths: pd.Series, rules: pd.Series) -> pd.Series:
+            return pd.Series(
+                [robots_allowed_rfc9309(p, r) for p, r in zip(paths, rules)]
+            )
+
+        ok = F.when(
+            F.coalesce(F.col("has_advanced"), F.lit(False)),
+            _rfc_ok(F.col("__path"), F.col("rules")),
+        ).otherwise(fast_ok)
+    else:
+        ok = fast_ok
+    return joined.withColumn("robots_ok", ok).drop("__path", *drop_cols)
 
 
-def split_robots(frontier: DataFrame, robots_rules: DataFrame) -> tuple[DataFrame, DataFrame]:
+def split_robots(
+    frontier: DataFrame, robots_rules: DataFrame, advanced: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """(allowed, disallowed) — see :func:`tag_robots`."""
-    tagged = tag_robots(frontier, robots_rules)
+    tagged = tag_robots(frontier, robots_rules, advanced)
     return (
         tagged.filter(F.col("robots_ok")).drop("robots_ok"),
         tagged.filter(~F.col("robots_ok")).drop("robots_ok"),

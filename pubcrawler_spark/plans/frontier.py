@@ -203,6 +203,11 @@ class CrawlEngine:
         self.seeds = seeds
         self._shards: seen_mod.BloomShards | None = None
         self.robots_rules = sched.parse_robots_rules(robots).cache()
+        # one-time detection on the tiny cached dim: does any host need
+        # the RFC 9309 longest-match evaluator (Allow rules / wildcards)?
+        self._robots_advanced = bool(
+            self.robots_rules.filter("has_advanced").head(1)
+        )
         # robots Crawl-delay → per-host slot budgets (tiny dim, cached)
         self.host_budgets = sched.host_budgets_from_robots(
             self.robots_rules, host_budget, iteration_window_ms
@@ -362,7 +367,10 @@ class CrawlEngine:
         # JOB 1: deduped+unseen candidates tagged with robots_ok —
         # materialized ONCE; schedule input, leftover anti-join, robots
         # metrics and the seen update are all projections of this table.
-        cand_path = _write(sched.tag_robots(unseen, self.robots_rules), "candidates")
+        cand_path = _write(
+            sched.tag_robots(unseen, self.robots_rules, advanced=self._robots_advanced),
+            "candidates",
+        )
         cand_rb = _rb("candidates")
         n_cand = _count_parquet(cand_path)
         n_disallowed = _col_sum_false(cand_path, "robots_ok")
