@@ -39,9 +39,44 @@ def cmd_crawl(args) -> int:
         spark, pages, robots, seeds,
         checkpoint_dir=args.checkpoint, year=args.year,
         host_budget=args.budget, seen_mode=args.seen_mode,
+        bloom_impl=args.bloom_impl,
     )
     totals = engine.run(max_iterations=args.iterations, resume=args.resume)
     print(json.dumps(totals))
+    return 0
+
+
+def cmd_embed(args) -> int:
+    """Incremental embed pipeline (embedder_chroma.py run surface):
+    anti-join ids already in the store, encode only the new docs,
+    append. Re-runs are no-ops."""
+    from pubcrawler_spark.operators import embed
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    if args.title_abstract:
+        docs = docs.withColumn("__doc_text", embed.compose_document())
+        text_col = "__doc_text"
+    else:
+        text_col = args.text_col
+    n = embed.run_incremental_embed(
+        docs, args.store, id_col=args.id_col, text_col=text_col, dim=args.dim
+    )
+    print(json.dumps({"embedded": n, "store": args.store}))
+    return 0
+
+
+def cmd_index(args) -> int:
+    """FTS index build (indexer.py run surface): materialize the
+    posting table (optionally porter-stemmed) as parquet."""
+    from pubcrawler_spark import sinks
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    cols = tuple(c for c in args.cols.split(",") if c in docs.columns)
+    postings = sinks.build_posting_table(docs, args.id_col, text_cols=cols, stem=args.stem)
+    postings.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"out": args.out, "cols": list(cols), "stem": args.stem}))
     return 0
 
 
@@ -90,9 +125,28 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--iterations", type=int, default=5)
     c.add_argument("--budget", type=int, default=10)
     c.add_argument("--year", default=2024)
-    c.add_argument("--seen-mode", choices=["exact", "bloom"], default="bloom")
+    c.add_argument("--seen-mode", choices=["exact", "bloom", "cuckoo"], default="bloom")
+    c.add_argument("--bloom-impl", choices=["driver", "table"], default="driver")
     c.add_argument("--resume", action="store_true")
     c.set_defaults(fn=cmd_crawl)
+
+    e = sub.add_parser("embed", help="incremental text-embedding pipeline", parents=[common])
+    e.add_argument("--docs", required=True)
+    e.add_argument("--store", required=True, help="parquet vector-store dir (appended)")
+    e.add_argument("--id-col", default="doc_id")
+    e.add_argument("--text-col", default="text")
+    e.add_argument("--title-abstract", action="store_true",
+                   help="embed f'{title}. {abstract}' like the reference")
+    e.add_argument("--dim", type=int, default=64)
+    e.set_defaults(fn=cmd_embed)
+
+    i = sub.add_parser("index", help="build the FTS posting table", parents=[common])
+    i.add_argument("--docs", required=True)
+    i.add_argument("--out", required=True)
+    i.add_argument("--id-col", default="doc_id")
+    i.add_argument("--cols", default="title,authors,abstract")
+    i.add_argument("--stem", action="store_true", help="add porter-stemmed term column")
+    i.set_defaults(fn=cmd_index)
 
     s = sub.add_parser("search", help="field-scoped keyword search", parents=[common])
     s.add_argument("--papers", required=True)
