@@ -44,6 +44,8 @@ HEADLINE_QUERIES = [
     "q21_ann_cosine_topk",
     "q02_top_parts_by_revenue",
     "q26_politeness_schedule",
+    "q16_minhash_lsh_pairs",
+    "q31_bm25_search",
 ]
 
 

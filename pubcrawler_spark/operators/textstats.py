@@ -88,3 +88,54 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     text — the exact-dedup key (stable across Spark and DuckDB)."""
     norm = F.lower(F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " ")))
     return df.withColumn("fp", F.md5(norm))
+
+
+# ---------------------------------------------------------------------------
+# C4-style webtext cleaning (Raffel et al. 2020, §2.2 heuristics) + PII scrub
+# ---------------------------------------------------------------------------
+
+_TERMINAL_PUNCT = r'[.!?"”]$'
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?\d[\d().\- ]{7,}\d"
+
+
+def c4_line_filter(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", min_words: int = 3
+) -> DataFrame:
+    """C4-style line-level cleaning (pure expressions, no UDF):
+    keep only lines that end in terminal punctuation, have ≥ min_words
+    words, and do not contain boilerplate markers ("lorem ipsum",
+    "javascript", '{'). Returns the cleaned text plus line counters —
+    the standard first pass of a webtext training-data pipeline.
+    """
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    trimmed = lambda l: F.trim(l)
+    keep = lambda l: (
+        trimmed(l).rlike(_TERMINAL_PUNCT)
+        & (F.size(F.split(trimmed(l), r"\s+")) >= min_words)
+        & ~F.lower(l).contains("lorem ipsum")
+        & ~F.lower(l).contains("javascript")
+        & ~l.contains("{")
+    )
+    kept = F.filter(lines, keep)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+    )
+
+
+def scrub_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """PII scrubbing (pure expressions): emails → <EMAIL>, phone-shaped
+    number runs → <PHONE>, with per-doc match counters. Regexes are
+    RE2-compatible so the DuckDB oracle evaluates them identically."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    return df.select(
+        F.col(id_col),
+        F.regexp_replace(
+            F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("scrubbed"),
+        F.regexp_count(t, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+    )

@@ -619,6 +619,50 @@ def q24(spark, sf_dir):
 
 
 @q(
+    "q38_c4_line_filter",
+    """
+    WITH l AS (
+      SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS lines FROM documents),
+    k AS (
+      SELECT doc_id, lines,
+             list_filter(lines, x ->
+               regexp_matches(trim(x), '[.!?"”]$')
+               AND len(string_split_regex(trim(x), '\\s+')) >= 3
+               AND NOT contains(lower(x), 'lorem ipsum')
+               AND NOT contains(lower(x), 'javascript')
+               AND NOT contains(x, '{')) AS kept
+      FROM l)
+    SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+           len(lines)::BIGINT AS n_lines, len(kept)::BIGINT AS n_lines_kept
+    FROM k ORDER BY doc_id
+    """,
+)
+def q38(spark, sf_dir):
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2 heuristics)
+    as pure expressions — the standard first pass of a webtext
+    training-data pipeline."""
+    return textstats.c4_line_filter(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@q(
+    "q39_pii_scrub",
+    """
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(coalesce(text, ''), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\+?\\d[\\d().\\- ]{7,}\\d', '<PHONE>', 'g') AS scrubbed,
+           len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(coalesce(text, ''), '\\+?\\d[\\d().\\- ]{7,}\\d'))::BIGINT AS n_phones
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q39(spark, sf_dir):
+    """PII scrubbing (emails/phone runs → sentinels) with match
+    counters — pure expressions, RE2-compatible regexes."""
+    return textstats.scrub_pii(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@q(
     "q36_posting_table",
     """
     WITH toks AS (

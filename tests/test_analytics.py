@@ -131,3 +131,22 @@ def test_distribution_most_common_order(spark, papers):
     counts = [r["cnt"] for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert sum(counts) == 400
+
+
+def test_c4_line_filter_and_pii_scrub(spark):
+    from pubcrawler_spark.operators import textstats
+
+    df = spark.createDataFrame([
+        (1, "Good line with punctuation.\nshort.\nno terminal punct here\n"
+            "Contains javascript code.\nAnother fine sentence!\n{ bad json }"),
+        (2, "Mail me at a.b@test.org or call +1 (555) 123-4567 now."),
+        (3, None),
+    ], "doc_id long, text string")
+    c4 = {r["doc_id"]: r for r in textstats.c4_line_filter(df).collect()}
+    assert c4[1]["clean_text"] == "Good line with punctuation.\nAnother fine sentence!"
+    assert (c4[1]["n_lines"], c4[1]["n_lines_kept"]) == (6, 2)
+    assert c4[3]["clean_text"] == "" and c4[3]["n_lines_kept"] == 0
+    pii = {r["doc_id"]: r for r in textstats.scrub_pii(df).collect()}
+    assert pii[2]["scrubbed"] == "Mail me at <EMAIL> or call <PHONE> now."
+    assert (pii[2]["n_emails"], pii[2]["n_phones"]) == (1, 1)
+    assert pii[1]["n_emails"] == 0
