@@ -139,3 +139,88 @@ def scrub_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         F.regexp_count(t, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
         F.regexp_count(t, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling-hash document fingerprinting: winnowing (Schleimer et al.,
+# SIGMOD 2003 — the MOSS algorithm)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """(doc, fp, pos) winnowing fingerprints: polynomial rolling hash of
+    character k-grams over whitespace-normalized lowercase text, then
+    the minimum hash of every sliding window of ``window`` consecutive
+    k-gram hashes (rightmost-min tie-break), deduplicated.
+
+    Guarantee (the winnowing theorem): any substring shared between two
+    docs of length ≥ k + window − 1 contributes at least one SHARED
+    fingerprint — so matching docs meet in a groupBy(fp) with ~1/window
+    of the k-gram volume, the classic plagiarism/near-dup index.
+    One vectorized Arrow pass per batch (numpy sliding windows).
+    """
+    import numpy as np
+    import pandas as pd
+
+    B = np.uint64(1_000_003)
+    powers = B ** np.arange(k - 1, -1, -1, dtype=np.uint64)  # mod 2^64
+
+    def _fps_one(t: str) -> tuple[np.ndarray, np.ndarray]:
+        norm = " ".join((t or "").lower().split())
+        codes = np.frombuffer(norm.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        if len(codes) < k:
+            return np.empty(0, np.int64), np.empty(0, np.int32)
+        grams = np.lib.stride_tricks.sliding_window_view(codes, k)
+        h = (grams * powers[None, :]).sum(axis=1)  # uint64 wrap = mod 2^64
+        if len(h) < window:
+            sel = np.array([int(np.argmin(h))])
+        else:
+            wins = np.lib.stride_tricks.sliding_window_view(h, window)
+            # rightmost minimum per window (the paper's robust variant)
+            rev_arg = window - 1 - np.argmin(wins[:, ::-1], axis=1)
+            sel = np.unique(np.arange(len(wins)) + rev_arg)
+        return h[sel].astype(np.int64), sel.astype(np.int32)
+
+    def _run(it):
+        for pdf in it:
+            docs, fps, poss = [], [], []
+            for doc, t in zip(pdf[id_col], pdf[text_col]):
+                f, p = _fps_one(t)
+                docs.extend([doc] * len(f))
+                fps.extend(f.tolist())
+                poss.extend(p.tolist())
+            yield pd.DataFrame({"doc": docs, "fp": fps, "pos": poss})
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _run, schema="doc long, fp long, pos int"
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs by shared winnowing fingerprints:
+    equi-join on fp (only docs sharing a fingerprint ever meet — the
+    same bucket-join shape as MinHash-LSH), ranked by shared count."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, window).dropDuplicates(["doc", "fp"])
+    a = fps.select(F.col("doc").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
+    )

@@ -618,6 +618,17 @@ def q24(spark, sf_dir):
     return ann.semantic_search(emb, docs.select("doc_id", "lang", "source", "n_chars"), list(qvec), k=10)
 
 
+@q("q40_winnow_pairs")  # rolling-hash fingerprints — rows-only
+def q40(spark, sf_dir):
+    """Winnowing (Schleimer et al. 2003) near-dup candidates: rolling
+    k-gram hashes → window-min fingerprints → equi-join on fp. The
+    rolling-hash fingerprint index the driver mandate names; any shared
+    substring ≥ k+window−1 chars guarantees a shared fingerprint."""
+    return textstats.winnow_pairs(
+        _t(spark, sf_dir, "documents"), k=8, window=4, min_shared=5
+    )
+
+
 @q(
     "q38_c4_line_filter",
     """

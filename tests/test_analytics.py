@@ -150,3 +150,30 @@ def test_c4_line_filter_and_pii_scrub(spark):
     assert pii[2]["scrubbed"] == "Mail me at <EMAIL> or call <PHONE> now."
     assert (pii[2]["n_emails"], pii[2]["n_phones"]) == (1, 1)
     assert pii[1]["n_emails"] == 0
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing theorem: docs sharing a substring >= k+window-1 chars
+    share >= 1 fingerprint; disjoint-vocabulary docs share none."""
+    from pubcrawler_spark.operators import textstats
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, "intro words before. " + shared + " and trailing content here"),
+        (2, shared + " with a completely different ending altogether"),
+        (3, "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo nnn mmm"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {doc: set() for doc in (1, 2, 3)}
+    for r in textstats.winnow_fingerprints(df, k=8, window=4).collect():
+        fps[r["doc"]].add(r["fp"])
+    assert fps[1] & fps[2], "shared substring must produce shared fingerprints"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    # deterministic across recomputation
+    again = {doc: set() for doc in (1, 2, 3)}
+    for r in textstats.winnow_fingerprints(df, k=8, window=4).collect():
+        again[r["doc"]].add(r["fp"])
+    assert again == fps
+    # pair ranking surfaces exactly the planted pair
+    pairs = textstats.winnow_pairs(df, k=8, window=4, min_shared=2).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(1, 2)]
