@@ -625,7 +625,7 @@ def q40(spark, sf_dir):
     rolling-hash fingerprint index the driver mandate names; any shared
     substring ≥ k+window−1 chars guarantees a shared fingerprint."""
     return textstats.winnow_pairs(
-        _t(spark, sf_dir, "documents"), k=8, window=4, min_shared=5
+        _t(spark, sf_dir, "documents"), k=8, window=4, min_shared=40
     )
 
 
