@@ -49,6 +49,12 @@ URL_CASES = [
     "mailto:someone@example.com",
     "/relative/path",
     "https://h.com/a?z=1&a=2&utm_x=3&fbclid=abc",
+    # non-numeric port and IPv6 literal: the authority must round-trip
+    # unchanged (vectorized path regression — ADVICE r1)
+    "https://host.org:abc/x",
+    "http://[::1]:8080/p?b=1",
+    "http://[2001:db8::7]/c",
+    "https://u@[::1]:443/q",
     "",
 ]
 
