@@ -84,3 +84,24 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert df.columns == ["seq", "url_canon", "host", "priority"]
+
+
+def test_registry_consistency():
+    """Driver-contract invariants: every oracle key names a registered
+    query, names are unique q-prefixed slugs, and oracle SQL is
+    non-empty DuckDB-parseable text."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert all(n.startswith("q") and "_" in n for n in qs)
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    for name, sql in osql.items():
+        con.execute(f"SELECT * FROM ({sql}) LIMIT 0")  # parses + binds
