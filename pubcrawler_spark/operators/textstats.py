@@ -224,3 +224,47 @@ def winnow_pairs(
         .filter(F.col("n_shared") >= min_shared)
         .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
     )
+
+
+def trigram_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Character-trigram Shannon entropy per doc (bits) — the cheap
+    deterministic stand-in for the LM-perplexity quality filters of
+    CCNet/Gopher-style pipelines: gibberish and boilerplate-repetition
+    both show up as entropy outliers. Pure expressions end to end
+    (explode trigrams → count → −Σ p·log2 p), exact ANSI-SQL oracle.
+    """
+    norm = F.lower(F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " ")))
+    base = df.select(F.col(id_col).alias("doc"), norm.alias("__t")).withColumn(
+        "__n", F.length("__t") - F.lit(2)
+    )
+    tri = base.filter(F.col("__n") > 0).select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__n")),
+                lambda i: F.col("__t").substr(i, F.lit(3)),
+            )
+        ).alias("tri"),
+    )
+    counts = tri.groupBy("doc", "tri").agg(F.count("*").alias("c"))
+    ent = (
+        counts.groupBy("doc")
+        .agg(
+            F.sum("c").alias("total"),
+            F.sum(F.col("c") * F.log2("c")).alias("clogc"),
+            F.count("*").alias("n_distinct_tri"),
+        )
+        .select(
+            "doc",
+            F.round(F.log2("total") - F.col("clogc") / F.col("total"), 6).alias("entropy_bits"),
+            F.col("n_distinct_tri"),
+            F.col("total").alias("n_trigrams"),
+        )
+    )
+    empty = base.filter(F.col("__n") <= 0).select(
+        "doc",
+        F.lit(0.0).alias("entropy_bits"),
+        F.lit(0).cast("long").alias("n_distinct_tri"),
+        F.lit(0).cast("long").alias("n_trigrams"),
+    )
+    return ent.unionByName(empty)

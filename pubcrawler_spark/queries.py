@@ -618,6 +618,30 @@ def q24(spark, sf_dir):
     return ann.semantic_search(emb, docs.select("doc_id", "lang", "source", "n_chars"), list(qvec), k=10)
 
 
+@q(
+    "q41_trigram_entropy",
+    """
+    WITH d AS (SELECT doc_id AS doc, lower(trim(regexp_replace(coalesce(text,''), '\\s+', ' ', 'g'))) AS t FROM documents),
+    tri AS (SELECT doc, unnest(list_transform(range(1, length(t) - 1), i -> substr(t, i, 3))) AS tri
+            FROM d WHERE length(t) >= 3),
+    c AS (SELECT doc, tri, COUNT(*) AS c FROM tri GROUP BY doc, tri),
+    e AS (SELECT doc,
+                 ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6) AS entropy_bits,
+                 COUNT(*) AS n_distinct_tri, SUM(c) AS n_trigrams
+          FROM c GROUP BY doc)
+    SELECT doc, entropy_bits, n_distinct_tri, n_trigrams FROM e
+    UNION ALL
+    SELECT doc, 0.0, 0::BIGINT, 0::BIGINT FROM d WHERE length(t) < 3
+    ORDER BY doc
+    """,
+)
+def q41(spark, sf_dir):
+    """Character-trigram entropy quality signal (the deterministic
+    stand-in for CCNet/Gopher LM-perplexity filters) — pure
+    expressions, exact SQL oracle."""
+    return textstats.trigram_entropy(_t(spark, sf_dir, "documents")).orderBy("doc")
+
+
 @q("q40_winnow_pairs")  # rolling-hash fingerprints — rows-only
 def q40(spark, sf_dir):
     """Winnowing (Schleimer et al. 2003) near-dup candidates: rolling
