@@ -140,13 +140,23 @@ def run_incremental_embed(
     else:
         existing = spark.createDataFrame([], "vec_id long")
     new_emb = incremental_embed(docs, existing, id_col, text_col, encoder, dim)
-    # materialize once; append only if non-empty (ids are new by
-    # construction, so append ≙ upsert)
-    new_emb.persist()
+    # Materialize the delta to a scratch dir BEFORE appending: the
+    # anti-join plan reads store_path, so appending from the live plan
+    # risks a cache-evicted partition recomputing against the store's
+    # new file listing (duplicating vectors). A written copy has no
+    # lineage back to the store. Append only if non-empty (ids are new
+    # by construction, so append ≙ upsert; 0 new ⇒ store untouched,
+    # matching embedder_chroma.py:72-75).
+    import shutil
+    import uuid
+
+    scratch = f"{store_path.rstrip('/')}__delta_{uuid.uuid4().hex[:12]}"
     try:
-        n = new_emb.count()
+        new_emb.write.mode("overwrite").parquet(scratch)
+        delta = spark.read.parquet(scratch)
+        n = delta.count()
         if n:
-            new_emb.write.mode("append").parquet(store_path)
+            delta.write.mode("append").parquet(store_path)
     finally:
-        new_emb.unpersist()
+        shutil.rmtree(scratch, ignore_errors=True)
     return n

@@ -525,9 +525,9 @@ def q19(spark, sf_dir):
     SELECT doc_id, n_chars_calc::BIGINT AS n_chars_calc, n_words::BIGINT AS n_words,
            ROUND(CASE WHEN n_chars_calc > 0 THEN n_punct * 1.0 / n_chars_calc ELSE 0.0 END, 6) AS punct_ratio,
            ROUND(CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0.0 END, 6) AS stop_ratio,
-           ROUND((CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 0.4 ELSE 0.0 END)
+           ROUND(((CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 0.4 ELSE 0.0 END)
                + (CASE WHEN n_chars_calc > 0 AND n_punct * 1.0 / n_chars_calc > 0.0 AND n_punct * 1.0 / n_chars_calc < 0.2 THEN 0.3 ELSE 0.0 END)
-               + (CASE WHEN n_words > 0 AND n_stop * 1.0 / n_words > 0.05 THEN 0.3 ELSE 0.0 END), 2) AS quality
+               + (CASE WHEN n_words > 0 AND n_stop * 1.0 / n_words > 0.05 THEN 0.3 ELSE 0.0 END))::DOUBLE, 2) AS quality
     FROM s ORDER BY doc_id
     """,
 )
@@ -627,7 +627,7 @@ def q24(spark, sf_dir):
     c AS (SELECT doc, tri, COUNT(*) AS c FROM tri GROUP BY doc, tri),
     e AS (SELECT doc,
                  ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6) AS entropy_bits,
-                 COUNT(*) AS n_distinct_tri, SUM(c) AS n_trigrams
+                 COUNT(*) AS n_distinct_tri, SUM(c)::BIGINT AS n_trigrams
           FROM c GROUP BY doc)
     SELECT doc, entropy_bits, n_distinct_tri, n_trigrams FROM e
     UNION ALL
@@ -710,7 +710,7 @@ def q39(spark, sf_dir):
       FROM documents),
     postings AS (
       SELECT term, doc, col, COUNT(*) AS tf FROM toks WHERE length(term) > 0 GROUP BY 1,2,3)
-    SELECT term, col, COUNT(*) AS df, SUM(tf) AS total_tf
+    SELECT term, col, COUNT(*) AS df, SUM(tf)::BIGINT AS total_tf
     FROM postings GROUP BY term, col
     ORDER BY df DESC, term, col LIMIT 100
     """,
@@ -767,15 +767,27 @@ def q33(spark, sf_dir):
     """V2 incremental embed pipeline (embedder_chroma.py:56-125 flow):
     ids already in the vector store (here: embeddings with vec_id < 400)
     are skipped via anti-join; only the missing docs are batch-encoded
-    (deterministic feature-hashing encoder, Arrow batches)."""
+    (deterministic feature-hashing encoder, Arrow batches). The raw
+    vector column is digest-projected — (rounded L2 norm, xxhash64 of
+    the 6-dp-rounded vector) — so the result is hashable for the
+    driver's canonicalizer while still pinning every vector value; the
+    full array<float> semantics stay covered by tests/test_embed.py."""
     from pubcrawler_spark.operators import embed
 
     docs = _t(spark, sf_dir, "documents")
     existing = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400).select("vec_id")
-    return (
-        embed.incremental_embed(docs, existing, id_col="doc_id", text_col="text", dim=64)
-        .orderBy("vec_id")
-    )
+    out = embed.incremental_embed(docs, existing, id_col="doc_id", text_col="text", dim=64)
+    rounded = F.transform(F.col("embedding"), lambda x: F.round(x.cast("double"), 6))
+    return out.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.sqrt(F.aggregate(rounded, F.lit(0.0), lambda acc, x: acc + x * x)), 6
+        ).alias("norm"),
+        F.xxhash64(F.concat_ws(",", F.transform(rounded, lambda x: x.cast("string")))).alias(
+            "vec_digest"
+        ),
+    ).orderBy("vec_id")
 
 
 @q(

@@ -44,6 +44,50 @@ def _rowset(cols, rows):
     return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
 
 
+def _assert_driver_safe_arrow(name, schema):
+    """The driver fetches both sides via Arrow and canonicalizes with
+    pandas sort_values + value hashing. Two failure classes are invisible
+    to a plain fetchall() gate and must be caught here:
+
+    - DECIMAL/HUGEINT oracle columns (e.g. an uncast DuckDB SUM(BIGINT))
+      arrive as decimal128 ⇒ Decimal('42') hash-mismatches Spark's 42
+      even when values agree (the r2 q36/q41 failure);
+    - list/struct columns can't be factorized by pandas sort_values
+      (the r2 q33 crash).
+    """
+    import pyarrow.types as pt
+
+    for field in schema:
+        t = field.type
+        ok = (
+            pt.is_integer(t)
+            or pt.is_floating(t)
+            or pt.is_string(t)
+            or pt.is_large_string(t)
+            or pt.is_boolean(t)
+            or pt.is_timestamp(t)
+            or pt.is_date(t)
+        )
+        assert ok, (
+            f"{name}: column '{field.name}' has driver-unsafe Arrow type {t} "
+            f"(decimal ⇒ cast ::BIGINT/::DOUBLE in the oracle SQL; "
+            f"list/struct ⇒ digest-project in the Spark query)"
+        )
+
+
+def _assert_driver_safe_spark(name, sdf):
+    from pyspark.sql import types as T
+
+    for field in sdf.schema.fields:
+        assert not isinstance(
+            field.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+        ), (
+            f"{name}: Spark column '{field.name}' is {field.dataType.simpleString()} — "
+            f"the driver's pandas canonicalizer cannot sort/hash it; "
+            f"project a scalar digest instead"
+        )
+
+
 ORACLE_NAMES = sorted(entry_mod.oracle_sql())
 
 
@@ -53,8 +97,15 @@ def test_query_matches_oracle(spark, sf_dir, con, name):
     sql = entry_mod.oracle_sql()[name]
 
     sdf = q(spark, sf_dir)
+    _assert_driver_safe_spark(name, sdf)
     spark_cols = [c.lower() for c in sdf.columns]
     spark_rows = [tuple(r) for r in sdf.collect()]
+
+    # fetch via Arrow first: this is how the driver sees the oracle, and
+    # it surfaces HUGEINT/DECIMAL typing that fetchall() silently folds
+    # into Python int (the r2 q36/q41 blind spot)
+    duck_tbl = con.execute(sql).arrow()
+    _assert_driver_safe_arrow(name, duck_tbl.schema)
 
     res = con.execute(sql)
     duck_cols = [d[0].lower() for d in res.description]
@@ -77,6 +128,7 @@ def test_rows_only_queries_run(spark, sf_dir):
     for name in sorted(set(qs) - set(entry_mod.oracle_sql())):
         df = qs[name](spark, sf_dir)
         assert df.columns, name
+        _assert_driver_safe_spark(name, df)
         assert df.count() >= 0, name
 
 
