@@ -185,10 +185,20 @@ def ivf_topk(
     tunable recall/cost dial; assignment and training are deterministic
     (seeded), so results are stable across runs.
     """
-    sample = np.stack(
-        [np.asarray(r[1], dtype=np.float64)
-         for r in emb.select(id_col, vec_col).orderBy(id_col).limit(train_sample).collect()]
+    # Seeded sample, NOT orderBy(id).limit(): a global sort of the corpus
+    # just to pick training rows is a full shuffle at 10^8 vectors. The
+    # Bernoulli sample is a scan-side filter (no shuffle, no sort) and is
+    # deterministic for a fixed input + seed (partition-stable: the same
+    # files split the same way replay the same per-partition RNG draws).
+    # Oversample 3× the target then trim; tiny inputs fall back to take().
+    n_rows = emb.count()
+    frac = min(1.0, (3.0 * train_sample) / max(n_rows, 1))
+    rows = (
+        emb.select(vec_col).sample(fraction=frac, seed=seed).limit(train_sample).collect()
+        if frac < 1.0
+        else emb.select(vec_col).limit(train_sample).collect()
     )
+    sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     cent = _train_centroids(sample, n_centroids, seed)
     q = np.asarray(_qnorm(qvec), dtype=np.float64)
     probe = np.argsort(-(cent @ q))[:n_probe].tolist()

@@ -398,9 +398,14 @@ def embedding_neardup_pairs(
             weights = 1 << np.arange(n_bits, dtype=np.uint64)
             return pd.Series((bits.astype(np.uint64) @ weights).astype(np.int64))
 
-        sigged = n.withColumn("__sig", _sig(F.col("v")))
-        banded = sigged.select(
-            "vid", "v", "nrm",
+        # sig-only banding: the banded explode and bucket equi-join carry
+        # ONLY (vid, band, bucket) — never the vector. Exploding the
+        # vector ×bands would inflate the shuffle's largest column
+        # 16-fold at 10^8 vectors; instead the deduped candidate id
+        # pairs re-attach (v, nrm) via two id equi-joins before the
+        # exact cosine verify.
+        banded = n.withColumn("__sig", _sig(F.col("v"))).select(
+            "vid",
             F.posexplode(
                 F.array(
                     *[
@@ -411,18 +416,20 @@ def embedding_neardup_pairs(
                 )
             ).alias("band", "bucket"),
         )
-        a = banded.select(
-            F.col("vid").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"),
-            "band", "bucket",
-        )
-        b = banded.select(
-            F.col("vid").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"),
-            "band", "bucket",
-        )
-        cand = (
+        a = banded.select(F.col("vid").alias("id_a"), "band", "bucket")
+        b = banded.select(F.col("vid").alias("id_b"), "band", "bucket")
+        pairs = (
             a.join(b, ["band", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
+        )
+        cand = pairs.join(
+            n.select(F.col("vid").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")),
+            "id_a",
+        ).join(
+            n.select(F.col("vid").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b")),
+            "id_b",
         )
     elif mode == "exact":
         a = n.select(F.col("vid").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))

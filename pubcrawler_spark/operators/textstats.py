@@ -209,11 +209,31 @@ def winnow_pairs(
     k: int = 8,
     window: int = 4,
     min_shared: int = 2,
+    max_fp_df: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs by shared winnowing fingerprints:
     equi-join on fp (only docs sharing a fingerprint ever meet — the
-    same bucket-join shape as MinHash-LSH), ranked by shared count."""
+    same bucket-join shape as MinHash-LSH), ranked by shared count.
+
+    ``max_fp_df`` is the stop-fingerprint cut (the 100 TB guard,
+    mirroring ``ngram_jaccard_pairs(max_shingle_df=...)``): a
+    fingerprint shared by d docs fans out d² pair rows in the fp
+    equi-join BEFORE the min_shared filter can trim anything, so one
+    boilerplate fingerprint (licence header, nav bar) re-quadratics the
+    plan. With the cut, fingerprints with document frequency >
+    ``max_fp_df`` are dropped before the join — boilerplate stops
+    counting toward n_shared (the standard web-dedup semantics) and
+    per-fp join fan-out is bounded by ``max_fp_df``². Default None =
+    exact over all fingerprints (the sf-fixture mode)."""
     fps = winnow_fingerprints(df, id_col, text_col, k, window).dropDuplicates(["doc", "fp"])
+    if max_fp_df is not None:
+        light = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_fp_df)
+            .select("fp")
+        )
+        fps = fps.join(light, "fp")
     a = fps.select(F.col("doc").alias("doc_a"), "fp")
     b = fps.select(F.col("doc").alias("doc_b"), "fp")
     return (

@@ -109,6 +109,28 @@ def test_ngram_stop_shingle_cut_bounds_pairs(spark):
     assert exact.get((0, 40)) == 1.0
 
 
+def test_winnow_stop_fp_cut_bounds_pairs(spark):
+    """Planted boilerplate shared by every doc: without the cut the fp
+    equi-join emits a pair row for all d² doc combinations of each
+    boilerplate fingerprint; with max_fp_df those fingerprints are
+    dropped before the join and only the true dup (which shares its
+    rare body fingerprints) survives."""
+    from pubcrawler_spark.operators import textstats
+
+    boiler = "standard copyright license footer text appears on every single page "
+    rows = [(i, boiler + f"unique text body number {i} " * 6) for i in range(40)]
+    rows.append((40, rows[0][1]))  # planted dup of doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    no_cut = {(r["doc_a"], r["doc_b"]) for r in
+              textstats.winnow_pairs(df, min_shared=2).collect()}
+    cut = {(r["doc_a"], r["doc_b"]) for r in
+           textstats.winnow_pairs(df, min_shared=2, max_fp_df=10).collect()}
+    # boilerplate glues every doc pair together without the cut
+    assert len(no_cut) == 41 * 40 // 2
+    # with the cut only the true dup remains, and it is still found
+    assert cut == {(0, 40)}
+
+
 def test_embedding_neardup_lsh_superset_of_exact(spark):
     """LSH-candidate mode finds every exact pair (planted + random tail)
     and never reports a pair below threshold (verify step is exact)."""

@@ -83,6 +83,34 @@ def test_q32_lsh_neardup_is_equi_join(spark):
     assert "Join" in p
 
 
+def test_q32_banded_exchange_carries_no_vectors(spark):
+    """The (band, bucket) candidate exchange ships ids only: exploding
+    the vector ×bands would inflate the shuffle's biggest column
+    16-fold at 10^8 vectors. Vectors re-attach to the deduped pairs via
+    id joins, so no hashpartitioning(band, bucket) exchange may carry
+    the embedding/v column."""
+    import re
+
+    p = _plan(spark, "q32_embedding_neardup_lsh")
+    blocks = re.split(r"\n\n", p)
+    # the ×bands fan-out happens at the posexplode Generate; everything
+    # downstream of it (the band/bucket join, any exchange) inherits its
+    # columns — so the Generate input must be (vid, sig) only
+    banded = [b for b in blocks if "posexplode" in b]
+    assert banded, "expected posexplode Generate nodes in the LSH plan"
+    for b in banded:
+        assert not re.search(r"[\[, ](v|v_a|v_b|embedding)#", b), (
+            f"banded fan-out carries a vector column:\n{b}"
+        )
+    # and if the band join does shuffle (bigger inputs), it must not
+    # carry vectors either
+    for b in blocks:
+        if "hashpartitioning(band" in b:
+            assert not re.search(r"[\[, ](v|v_a|v_b|embedding)#", b), (
+                f"banded exchange carries a vector column:\n{b}"
+            )
+
+
 def test_q23_exact_neardup_is_the_small_scale_oracle(spark):
     """Contrast check: exact mode IS the nested-loop all-pairs plan
     (documented ≤10k-row oracle baseline), so the q32 assertion above
