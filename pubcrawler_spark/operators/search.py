@@ -88,10 +88,23 @@ def compile_query(
 
 
 def _prune_token(value: str) -> str | None:
-    """Longest \\w+ subtoken of a query term/phrase — the posting term
-    every rlike word-boundary match is guaranteed to contain."""
-    toks = re.findall(r"\w+", value.lower())
-    return max(toks, key=len) if toks else None
+    """Longest ASCII-word run of a query term/phrase — the posting term
+    every rlike word-boundary match is guaranteed to contain.
+
+    Must mirror the posting tokenizer's alphabet EXACTLY: the index is
+    built with JVM ``[^\\w\\s]`` (Java ``\\w`` = ASCII ``[A-Za-z0-9_]``),
+    so a Unicode-``\\w`` prune token like ``café`` can never exist as a
+    posting term — the semi-join would drop every doc and "lossless"
+    pruning would silently return zero rows. Instead: take maximal
+    ``[A-Za-z0-9_]+`` runs of the RAW value (non-ASCII word chars act as
+    separators, exactly as the JVM tokenizer treats them), ASCII-lower
+    the longest. Soundness: an rlike match contains the literal value,
+    whose ASCII runs are delimited by non-word chars in both the pattern
+    and the tokenizer, so each run surfaces as a complete posting term.
+    A value with no ASCII run (e.g. a CJK term) returns None — the
+    caller skips pruning and verifies by rlike alone."""
+    toks = re.findall(r"[A-Za-z0-9_]+", value)
+    return max(toks, key=len).lower() if toks else None
 
 
 def keyword_search(

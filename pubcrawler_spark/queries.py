@@ -42,20 +42,61 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _index_cache_key(sf_dir: str, name: str) -> str:
+    """Content-addressed cache key: hashes (a) the SOURCE of the modules
+    that build indexes — editing the tokenizer/stemmer invalidates every
+    cached index without manual version bumps — and (b) a fingerprint of
+    the source parquet files (path, size, mtime), so regenerated fixture
+    data at the same path never serves a stale index."""
+    import hashlib
+    import inspect
+    import os
+
+    from pubcrawler_spark import sinks
+    from pubcrawler_spark.functions import stem
+    from pubcrawler_spark.operators import search
+
+    h = hashlib.sha256()
+    for mod in (sinks, search, stem):
+        h.update(inspect.getsource(mod).encode())
+    h.update(f"{sf_dir}:{name}".encode())
+    for fname in ("documents.parquet",):
+        p = os.path.join(sf_dir, fname)
+        if os.path.isfile(p):
+            st = os.stat(p)
+            h.update(f"{fname}:{st.st_size}:{st.st_mtime_ns}".encode())
+        elif os.path.isdir(p):
+            for part in sorted(os.listdir(p)):
+                st = os.stat(os.path.join(p, part))
+                h.update(f"{part}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
 def _materialized(spark: SparkSession, sf_dir: str, name: str, build_fn) -> DataFrame:
     """Build-once parquet materialization for search indexes (the K4
     index-build step): at scale these are Iceberg tables written by the
     indexing job; queries only JOIN against them — a per-query corpus
-    scan is the anti-pattern this removes. Cached per (sf_dir, name)
-    under /tmp; bump the version token when build logic changes."""
-    import hashlib
+    scan is the anti-pattern this removes. Cached per content key under
+    /tmp (key covers builder source + source-parquet fingerprint, so
+    logic edits and fixture regeneration both invalidate). Built to a
+    scratch path and atomically renamed so a concurrent reader never
+    sees a half-written index."""
     import os
+    import shutil
     import tempfile
+    import uuid
 
-    key = hashlib.md5(f"v1:{sf_dir}:{name}".encode()).hexdigest()[:12]
+    key = _index_cache_key(sf_dir, name)
     path = os.path.join(tempfile.gettempdir(), f"pubcrawler_idx_{name}_{key}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        build_fn().write.mode("overwrite").parquet(path)
+        scratch = f"{path}__build_{uuid.uuid4().hex[:8]}"
+        build_fn().write.mode("overwrite").parquet(scratch)
+        try:
+            os.rename(scratch, path)  # atomic on the same filesystem
+        except OSError:
+            # lost the race to a concurrent builder — its index is
+            # equivalent (same content key); drop ours
+            shutil.rmtree(scratch, ignore_errors=True)
     return spark.read.parquet(path)
 
 
