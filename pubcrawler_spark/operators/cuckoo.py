@@ -19,6 +19,18 @@ easy majority, evict the rest item-at-a-time).
 No false negatives while every insert succeeds (enforced: overfull
 shards raise instead of silently dropping — size capacity like bloom's
 ``expected_per_shard``). FPP ≈ 8/2^16 ≈ 1.2e-4 at b=4/f=16.
+
+DELETE semantics caveat: inserts are idempotent (an item whose
+fingerprint already probes present is not stored again — resume replay
+of an iteration must not double-fill slots), which departs from the
+CoNEXT'14 paper's store-duplicates rule that makes deletes exact. The
+consequence: two DISTINCT URLs colliding on (fingerprint, bucket pair)
+— probability ≈ the 1.2e-4 FPP — share one stored copy, so deleting
+one also un-sees the other. In a crawler a spurious un-seen is a
+benign re-crawl of one page (the seen LEDGER keeps history either
+way); the opposite trade — duplicate storage making resume replay
+overfill shards and double-delete requirements — is the harmful one
+here, so idempotent-insert is the deliberate choice.
 """
 
 from __future__ import annotations
@@ -140,7 +152,10 @@ class CuckooShard:
 
     def delete(self, hashes: np.ndarray) -> np.ndarray:
         """Remove one fingerprint copy per present item (the bloom-
-        impossible operation). Returns the removed mask."""
+        impossible operation). Returns the removed mask. Because inserts
+        are idempotent, a (fp, bucket-pair) collision between two
+        distinct URLs (~FPP ≈ 1.2e-4) shares one copy and deleting one
+        un-sees both — a benign re-crawl, see module docstring."""
         removed = np.zeros(len(hashes), dtype=bool)
         if len(hashes) == 0:
             return removed
@@ -240,6 +255,13 @@ class CuckooShards:
                 "n_shards": pa.array([self.n_shards] * len(sids), pa.int32()),
             }
         )
+        # geometry also goes in file-level metadata so a ZERO-shard
+        # checkpoint (an iteration where nothing was marked seen — every
+        # fetch missed, nothing robots-disallowed) round-trips to an
+        # empty filter instead of crashing resume
+        tbl = tbl.replace_schema_metadata(
+            {"n_shards": str(self.n_shards), "n_buckets": str(self.n_buckets)}
+        )
         pq.write_table(tbl, os.path.join(path, "part-00000-cuckoo.parquet"))
 
     @classmethod
@@ -247,10 +269,22 @@ class CuckooShards:
         import pyarrow.parquet as pq
 
         files = [f for f in os.listdir(path) if f.endswith(".parquet")]
-        d = pq.read_table(os.path.join(path, files[0])).to_pydict()
-        if not d["shard_id"]:
-            raise ValueError(f"empty cuckoo shards at {path}")
-        out = cls(int(d["n_shards"][0]), int(d["n_buckets"][0]))
+        t = pq.read_table(os.path.join(path, files[0]))
+        d = t.to_pydict()
+        if d["shard_id"]:
+            out = cls(int(d["n_shards"][0]), int(d["n_buckets"][0]))
+        else:
+            meta = {
+                (k.decode() if isinstance(k, bytes) else k):
+                (v.decode() if isinstance(v, bytes) else v)
+                for k, v in (t.schema.metadata or {}).items()
+            }
+            if "n_shards" not in meta or "n_buckets" not in meta:
+                raise ValueError(
+                    f"empty cuckoo shards at {path} with no geometry metadata "
+                    "(pre-r3 checkpoint?)"
+                )
+            out = cls(int(meta["n_shards"]), int(meta["n_buckets"]))
         for sid, blob in zip(d["shard_id"], d["table_bytes"]):
             out.shards[int(sid)] = CuckooShard(
                 out.n_buckets, np.frombuffer(blob, np.uint16).reshape(-1, BUCKET_SLOTS).copy()

@@ -113,3 +113,23 @@ def test_engine_cuckoo_matches_mirror(spark, tmp_path):
             spark, pages_spark_df(spark, fx), robots_spark_df(spark, fx), fx.seeds,
             checkpoint_dir=str(tmp_path / "ckc"), year=YEAR, seen_mode="exact",
         ).mark_unseen([1])
+
+
+def test_zero_shard_checkpoint_roundtrip(tmp_path):
+    """An iteration where no URL was marked seen writes a zero-shard
+    table; resume must restore an empty filter, not crash (ADVICE r2)."""
+    empty = CuckooShards.sized(capacity=1000, n_shards=8)
+    p = str(tmp_path / "ck")
+    empty.write(p)
+    back = CuckooShards.read(p)
+    assert back.n_shards == empty.n_shards
+    assert back.n_buckets == empty.n_buckets
+    assert back.shards == {}
+    # and it is usable: inserts + probes work after the round-trip
+    h = np.arange(100, dtype=np.int64) * 7919 + 13
+    back.add_hashes(h)
+    back.write(p + "2")
+    again = CuckooShards.read(p + "2")
+    for x in h:
+        sid = int(x % again.n_shards)
+        assert again.shards[sid].contains(np.array([x], np.int64))[0]
