@@ -68,15 +68,16 @@ def cmd_embed(args) -> int:
 
 def cmd_index(args) -> int:
     """FTS index build (indexer.py run surface): materialize the
-    posting table (optionally porter-stemmed) as parquet."""
+    posting table (optionally porter-stemmed) as term-sorted compacted
+    parquet (the FTS5 bulk-load + optimize sequence, indexer.py:99)."""
     from pubcrawler_spark import sinks
 
     spark = _spark(args)
     docs = spark.read.parquet(args.docs)
     cols = tuple(c for c in args.cols.split(",") if c in docs.columns)
     postings = sinks.build_posting_table(docs, args.id_col, text_cols=cols, stem=args.stem)
-    postings.write.mode("overwrite").parquet(args.out)
-    print(json.dumps({"out": args.out, "cols": list(cols), "stem": args.stem}))
+    stats = sinks.write_index(postings, args.out, target_file_mb=args.target_file_mb)
+    print(json.dumps({"out": args.out, "cols": list(cols), "stem": args.stem, **stats}))
     return 0
 
 
@@ -146,6 +147,8 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--id-col", default="doc_id")
     i.add_argument("--cols", default="title,authors,abstract")
     i.add_argument("--stem", action="store_true", help="add porter-stemmed term column")
+    i.add_argument("--target-file-mb", type=int, default=128,
+                   help="compaction target file size (FTS5 optimize analog)")
     i.set_defaults(fn=cmd_index)
 
     s = sub.add_parser("search", help="field-scoped keyword search", parents=[common])

@@ -74,6 +74,68 @@ def build_posting_table(
     return out
 
 
+def write_index(
+    df: DataFrame,
+    path: str,
+    sort_cols: tuple[str, ...] = ("term", "col", "doc"),
+    target_file_mb: int = 128,
+) -> dict:
+    """Compacting index writer — the FTS5 post-bulk-load ``optimize``
+    analog (/root/reference/src/search/indexer.py:99): the raw posting
+    build's shuffle output is many small files in hash order; queries
+    then pay per-file open cost and term-filter pushdown can't prune
+    (every file spans the whole term range). This rewrites the table
+
+    - range-partitioned on ``sort_cols[0]`` into ``ceil(bytes/target)``
+      files (bounded file count at any scale), and
+    - sorted by ``sort_cols`` within each file, so each file covers a
+      narrow term range ⇒ parquet min/max stats prune non-matching
+      files for a term-equality query, and dictionary/RLE encoding
+      compresses the sorted runs.
+
+    Two phases (measure, then rewrite) because the compacted file count
+    needs the ACTUAL on-disk size: write raw to scratch, stat it,
+    rewrite compacted, atomically swap into ``path``. Returns
+    ``{"files": n, "bytes": total}``.
+    """
+    import math
+    import os
+    import shutil
+    import uuid
+
+    spark = df.sparkSession
+    tag = uuid.uuid4().hex[:8]
+    raw, compacted = f"{path}__raw_{tag}", f"{path}__compact_{tag}"
+    try:
+        df.write.mode("overwrite").parquet(raw)
+        total = sum(
+            os.path.getsize(os.path.join(raw, f))
+            for f in os.listdir(raw)
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+        (
+            spark.read.parquet(raw)
+            .repartitionByRange(n_files, *sort_cols[:1])
+            .sortWithinPartitions(*sort_cols)
+            .write.mode("overwrite")
+            .parquet(compacted)
+        )
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.rename(compacted, path)
+        n_out = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+        out_bytes = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        return {"files": n_out, "bytes": out_bytes}
+    finally:
+        shutil.rmtree(raw, ignore_errors=True)
+        shutil.rmtree(compacted, ignore_errors=True)
+
+
 def term_lookup(postings: DataFrame, term: str, col: str | None = None) -> DataFrame:
     """Field-scoped posting lookup (FTS MATCH stand-in)."""
     out = postings.filter(F.col("term") == term.lower())

@@ -129,3 +129,42 @@ def test_index_cache_key_invalidation(tmp_path):
     with mock.patch("inspect.getsource", side_effect=fake):
         k3 = _index_cache_key(str(sf), "postings_docs")
     assert k3 != k2
+
+
+def test_q34_stemmed_search_golden_sf001(spark):
+    """Value-level anchor for the rows-only q34 driver entry: DuckDB's
+    fts/stem() extension cannot install offline, so pin the exact
+    (doc_id, score) rowset on the sf0.01 fixture instead. Any tokenizer/
+    stemmer/AND-semantics drift changes the digest."""
+    import hashlib
+
+    from pubcrawler_spark.queries import QUERIES
+
+    rows = QUERIES["q34_stemmed_search"](spark, "/root/testdata/sf0.01").collect()
+    tup = [(r["doc_id"], r["score"]) for r in rows]
+    assert len(tup) == 326
+    assert tup[:10] == [(1, 2), (3, 2), (4, 2), (5, 2), (7, 2),
+                        (8, 2), (9, 2), (10, 2), (11, 2), (12, 2)]
+    digest = hashlib.sha256(str(sorted(tup)).encode()).hexdigest()
+    assert digest == "18cf0ba07e66c13efe97a0d5c35b3f0bb6f0423212aeb79253c91a563fe4bc50"
+
+
+def test_write_index_compaction_parity(spark, corpus, tmp_path):
+    """The compacted (term-sorted, size-targeted) index answers the same
+    queries as the in-memory posting table: bounded file count, and
+    keyword_search over the compacted postings == full scan."""
+    postings = sinks.build_posting_table(corpus, "doc_id", text_cols=("text", "source"))
+    out = str(tmp_path / "idx")
+    stats = sinks.write_index(postings, out, target_file_mb=128)
+    assert stats["files"] == 1  # tiny corpus fits one target-size file
+    import os
+    assert sum(1 for f in os.listdir(out) if f.endswith(".parquet")) == stats["files"]
+    compacted = spark.read.parquet(out)
+    assert compacted.count() == postings.count()
+    for query in ["attention", "source:srcA attention", "transformer source:srcB"]:
+        full = [(r["doc_id"], r["score"]) for r in
+                search.keyword_search(corpus, query, ["text", "source"], "doc_id").collect()]
+        via_idx = [(r["doc_id"], r["score"]) for r in
+                   search.keyword_search(corpus, query, ["text", "source"], "doc_id",
+                                         postings=compacted).collect()]
+        assert via_idx == full, query
