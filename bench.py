@@ -102,23 +102,61 @@ def _bench_fixture_dir(n_pages: int, filler_kb: float = 4.0) -> str:
     return out
 
 
-def run_frontier_bench(spark, n_pages: int, budget: int = BENCH_BUDGET) -> dict:
+def _replicated_corpus(spark, n_pages: int, replicas: int, filler_kb: float = 4.0):
+    """(pages_df, seeds, robots_df) with the fixture replicated across
+    ``replicas`` host namespaces (r{i}host...) — the shared mechanism
+    behind the mega/stage/loop legs for growing input without changing
+    per-URL work."""
+    from pyspark.sql import functions as F
+
+    fdir = _bench_fixture_dir(n_pages, filler_kb=filler_kb)
+    base = spark.read.parquet(os.path.join(fdir, "pages.parquet"))
+    meta = json.load(open(os.path.join(fdir, "meta.json")))
+    if replicas <= 1:
+        robots = spark.createDataFrame(
+            sorted(meta["robots"].items()), "host string, robots_txt string"
+        )
+        return base, meta["seeds"], robots
+    reps = [
+        base.withColumn("url", F.regexp_replace("url", r"^https://host", f"https://r{i}host"))
+        for i in range(replicas)
+    ]
+    pages = reps[0]
+    for r in reps[1:]:
+        pages = pages.unionByName(r)
+    seeds = [
+        s.replace("https://host", f"https://r{i}host")
+        for i in range(replicas)
+        for s in meta["seeds"]
+    ]
+    robots = spark.createDataFrame(
+        [
+            (h.replace("host", f"r{i}host", 1), t)
+            for i in range(replicas)
+            for h, t in sorted(meta["robots"].items())
+        ],
+        "host string, robots_txt string",
+    )
+    return pages, seeds, robots
+
+
+def run_frontier_bench(spark, n_pages: int, budget: int = BENCH_BUDGET, replicas: int = 1) -> dict:
     """North-star metric: scheduled+parsed URLs/sec over the frontier
     loop (canonicalize → seen → robots → schedule → fetch-join → parse
-    → checkpoint), steady-state iterations on the Iceberg-stand-in."""
+    → checkpoint), steady-state iterations on the Iceberg-stand-in.
+    ``replicas`` grows the corpus (and so per-iteration work) by
+    replicating the fixture across host namespaces — the scaling bench
+    uses it to run the loop at a north-rule-representative iteration
+    size as well as the fixed-cost-dominated fixture size."""
     from pubcrawler_spark.fixtures import YEAR
     from pubcrawler_spark.plans.frontier import CrawlEngine
 
-    fdir = _bench_fixture_dir(n_pages)
-    pages = spark.read.parquet(os.path.join(fdir, "pages.parquet"))
-    meta = json.load(open(os.path.join(fdir, "meta.json")))
-    robots = spark.createDataFrame(
-        sorted(meta["robots"].items()), "host string, robots_txt string"
-    )
+    pages, seeds, robots = _replicated_corpus(spark, n_pages, replicas)
     ck = tempfile.mkdtemp(prefix="bench_ck_")
     engine = CrawlEngine(
-        spark, pages, robots, meta["seeds"], checkpoint_dir=ck, year=YEAR,
+        spark, pages, robots, seeds, checkpoint_dir=ck, year=YEAR,
         host_budget=budget, seen_mode="bloom", detailed_metrics=False,
+        expected_urls=max(2_000_000, n_pages * replicas * 2),
     )
     # warm the pages cache + JVM, and run the seed iteration (≈ one row
     # per host) outside the timed section: the metric is steady-state
@@ -137,6 +175,7 @@ def run_frontier_bench(spark, n_pages: int, budget: int = BENCH_BUDGET) -> dict:
         "parsed": totals["parsed"],
         "urls_per_sec": round(urls / wall, 1),
         "n_pages": n_pages,
+        "replicas": replicas,
         "iterations": totals["iterations"],
     }
 
@@ -162,8 +201,11 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--mega", action="store_true")
     ap.add_argument("--stage", action="store_true")
-    ap.add_argument("--replicas", type=int, default=3)
+    ap.add_argument("--replicas", type=int, default=None)
     args = ap.parse_args()
+    # default replicas: 3 for the replicated mega/stage modes, 1 for the
+    # plain frontier loop (the driver's per-round `python bench.py`)
+    replicas = args.replicas if args.replicas is not None else (3 if (args.mega or args.stage or args.scaling) else 1)
 
     # Right-size the JVM heap per mode — measured on this box: the
     # 16 KB-page stage collapses 6x with an oversized heap (48g: 4.5k
@@ -173,12 +215,12 @@ def main() -> None:
     os.environ.setdefault("SPARK_DRIVER_MEM", "16g" if args.mega else "8g")
 
     if args.scaling:
-        return run_scaling(args.pages, args.budget, args.replicas)
+        return run_scaling(args.pages, args.budget, replicas)
     if args.mega:
-        print(json.dumps(run_mega_iteration(args.cpus or 32, args.pages, args.replicas)))
+        print(json.dumps(run_mega_iteration(args.cpus or 32, args.pages, replicas)))
         return
     if args.stage:
-        print(json.dumps(run_stage_throughput(args.cpus or 32, args.pages, args.replicas)))
+        print(json.dumps(run_stage_throughput(args.cpus or 32, args.pages, replicas)))
         return
 
     # default to half the cores: in local mode the executor JVM threads
@@ -191,7 +233,7 @@ def main() -> None:
     spark = get_spark("pubcrawler-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    frontier = run_frontier_bench(spark, args.pages, args.budget)
+    frontier = run_frontier_bench(spark, args.pages, args.budget, replicas)
     result = {
         "metric": "frontier scheduled+parsed URLs/sec (canonicalize→bloom-seen→robots→politeness-schedule→fetch-join→parse→checkpoint)",
         "value": frontier["frontier_wall_sec"],
@@ -218,29 +260,10 @@ def run_mega_iteration(cpus: int, n_pages: int, replicas: int) -> dict:
     from pubcrawler_spark.fixtures import YEAR
     from pubcrawler_spark.plans.frontier import CrawlEngine
     from pubcrawler_spark.session import get_spark
-    from pyspark.sql import functions as F
 
     spark = get_spark(f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    fdir = _bench_fixture_dir(n_pages)
-    base = spark.read.parquet(os.path.join(fdir, "pages.parquet"))
-    meta = json.load(open(os.path.join(fdir, "meta.json")))
-    reps = [
-        base.withColumn("url", F.regexp_replace("url", r"^https://host", f"https://r{i}host"))
-        for i in range(replicas)
-    ]
-    pages = reps[0]
-    for r in reps[1:]:
-        pages = pages.unionByName(r)
-    seeds = [
-        s.replace("https://host", f"https://r{i}host")
-        for i in range(replicas)
-        for s in meta["seeds"]
-    ]
-    robots = spark.createDataFrame(
-        [(h.replace("host", f"r{i}host", 1), t) for i in range(replicas) for h, t in sorted(meta["robots"].items())],
-        "host string, robots_txt string",
-    )
+    pages, seeds, robots = _replicated_corpus(spark, n_pages, replicas)
     ck = tf.mkdtemp(prefix=f"scal_ck_{cpus}_")
     eng = CrawlEngine(
         spark, pages, robots, seeds, checkpoint_dir=ck, year=YEAR,
@@ -269,19 +292,10 @@ def run_stage_throughput(cpus: int, n_pages: int, replicas: int) -> dict:
     from pubcrawler_spark.functions.urltools import with_canonical_url
     from pubcrawler_spark.operators.parse import parse_pages
     from pubcrawler_spark.session import get_spark
-    from pyspark.sql import functions as F
 
     spark = get_spark(f"stage-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    fdir = _bench_fixture_dir(n_pages, filler_kb=16.0)
-    base = spark.read.parquet(os.path.join(fdir, "pages.parquet"))
-    reps = [
-        base.withColumn("url", F.regexp_replace("url", r"^https://host", f"https://r{i}host"))
-        for i in range(replicas)
-    ]
-    pages = reps[0]
-    for r in reps[1:]:
-        pages = pages.unionByName(r)
+    pages, _, _ = _replicated_corpus(spark, n_pages, replicas, filler_kb=16.0)
     n = pages.count()
     job = parse_pages(with_canonical_url(pages), YEAR, url_col="url_canon").select(
         "url_canon", "url_hash", "parsed.id", "parsed.text", "parsed.links"
@@ -305,10 +319,15 @@ def run_scaling(n_pages: int, budget: int = BENCH_BUDGET, replicas: int = 3) -> 
 
     1. STAGE — canonicalize+hash+parse over ~1.2M Common-Crawl-sized
        pages (the data-proportional north-star work, no loop barriers),
-    2. MEGA  — one full frontier iteration over ~370k URLs (work +
+    2. MEGA  — one full frontier iteration at ~1.5M URLs (work +
        per-iteration fixed cost),
-    3. LOOP  — steady-state small iterations (fixed-cost dominated at
-       fixture scale; amortizes at 10^7-10^8-URL iterations).
+    3. LOOP  — multi-iteration steady loop at a representative
+       iteration size (replicated corpus; a 10^10-URL frontier never
+       has 13k-URL iterations),
+    4. LOOP-FIXTURE — the same loop at raw fixture scale, reported for
+       transparency: its iterations are fixed-cost dominated (the
+       ~2-3 s/iteration Spark job+stage latency floor vs ~1 s of
+       scalable work — no architecture scales that).
     """
     _bench_fixture_dir(n_pages)
     _bench_fixture_dir(n_pages, filler_kb=16.0)
@@ -342,12 +361,25 @@ def run_scaling(n_pages: int, budget: int = BENCH_BUDGET, replicas: int = 3) -> 
     mega_pages = max(n_pages, 300_000)
     mega = {c: median3("--mega", c, ["--replicas", "6", "--pages", str(mega_pages)])
             for c in (2, 8)}
-    loop = {c: median3("--frontier-only", c, ["--budget", str(budget)]) for c in (2, 8)}
+    # representative steady loop: replicated corpus so steady iterations
+    # carry ~10^5 URLs each (still 100-1000x below north-rule iteration
+    # sizes, where amortization is strictly better)
+    loop = {
+        c: median3(
+            "--frontier-only", c,
+            ["--budget", "2000", "--pages", str(mega_pages), "--replicas", "3"],
+        )
+        for c in (2, 8)
+    }
+    loop_fixture = {
+        c: run("--frontier-only", c, ["--budget", str(budget)]) for c in (2, 8)
+    }
 
     def eff(d):
         return round((d[8]["urls_per_sec"] / d[2]["urls_per_sec"]) / 4.0, 3)
 
     stage_eff, mega_eff, loop_eff = eff(stage), eff(mega), eff(loop)
+    loop_fixture_eff = eff(loop_fixture)
     summary = {
         "metric": "scaling efficiency local[2]→local[8] (N→4N cores)",
         "value": stage_eff,
@@ -355,6 +387,8 @@ def run_scaling(n_pages: int, budget: int = BENCH_BUDGET, replicas: int = 3) -> 
         "stage": {c: stage[c]["urls_per_sec"] for c in stage} | {"efficiency": stage_eff},
         "mega_iteration": {c: mega[c]["urls_per_sec"] for c in mega} | {"efficiency": mega_eff},
         "steady_loop": {c: loop[c]["urls_per_sec"] for c in loop} | {"efficiency": loop_eff},
+        "loop_fixture": {c: loop_fixture[c]["urls_per_sec"] for c in loop_fixture}
+        | {"efficiency": loop_fixture_eff},
         "n_pages": n_pages,
     }
     print(json.dumps(summary))
@@ -401,19 +435,37 @@ Efficiency N→4N = {mega_eff} (includes the per-iteration fixed cost:
 snapshot commit, stage scheduling, broadcast builds — constant per
 iteration, <5% at the north-star 10^7-10^8-URL iteration size).
 
-## 3. Steady-state loop at fixture scale
-3 small iterations (host budget {budget}), fixed-cost dominated:
+## 3. Steady-state loop at representative iteration size
+3 steady iterations over the ×3-replicated corpus
+({loop[2]["scheduled"]} scheduled / {loop[2]["parsed"]} parsed per leg,
+host budget 2000) — iterations carry ~10^5 URLs each, the smallest
+size a 10^10-URL frontier would ever see (north-rule iterations are
+10^7-10^8 URLs, where amortization is strictly better):
+
+| parallelism | URLs/sec | wall sec |
+|---|---|---|
+| local[2] | {loop[2]["urls_per_sec"]} | {loop[2]["frontier_wall_sec"]} |
+| local[8] | {loop[8]["urls_per_sec"]} | {loop[8]["frontier_wall_sec"]} |
+
+**Efficiency N→4N = {loop_eff}.**
+
+## 4. Steady-state loop at raw fixture scale (transparency)
+The same loop at fixture size (host budget {budget}, ~13k-URL
+iterations). Fixed-cost math: the Spark job/stage/commit latency floor
+is ~2-3 s per iteration regardless of cores, while a 13k-URL iteration
+has ~1 s of core-scalable work at N=2 — efficiency 0.5 requires
+scalable work ≥ 4× the fixed cost, so NO architecture hits it at this
+iteration size; it is reported to show where the floor sits, not as a
+scale claim:
 
 | parallelism | URLs/sec |
 |---|---|
-| local[2] | {loop[2]["urls_per_sec"]} |
-| local[8] | {loop[8]["urls_per_sec"]} |
+| local[2] | {loop_fixture[2]["urls_per_sec"]} |
+| local[8] | {loop_fixture[8]["urls_per_sec"]} |
 
-Efficiency N→4N = {loop_eff} (reported for transparency; measurement 1
-is the scale-representative one — at 10^10-URL frontiers every
-iteration is a "mega" iteration).
+Efficiency N→4N = {loop_fixture_eff} (single run per level).
 
-Raw: `{json.dumps({"stage": stage, "mega": mega, "loop": loop})}`
+Raw: `{json.dumps({"stage": stage, "mega": mega, "loop": loop, "loop_fixture": loop_fixture})}`
 """)
 
 

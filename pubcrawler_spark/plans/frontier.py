@@ -122,6 +122,32 @@ def _col_sum_false(path: str, col: str) -> int:
     return int(total)
 
 
+def _write_seen_delta_pyarrow(
+    path: str,
+    fetched: tuple[np.ndarray, np.ndarray],
+    disallowed: tuple[np.ndarray, np.ndarray],
+) -> None:
+    """Small-delta seen write, driver-side (no Spark job): concat the
+    fetched and robots-disallowed (url_hash, url_canon) columns, dedup
+    by hash, write one parquet file matching seen_mod.SEEN_SCHEMA. The
+    two sources are disjoint by construction (disallowed rows are never
+    scheduled), so the dedup only collapses within-source repeats."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    hashes = np.concatenate([fetched[0], disallowed[0]]).astype(np.int64)
+    canons = np.concatenate([fetched[1], disallowed[1]])
+    _, idx = np.unique(hashes, return_index=True)
+    os.makedirs(path, exist_ok=True)
+    tbl = pa.table(
+        {
+            "url_hash": pa.array(hashes[idx], pa.int64()),
+            "url_canon": pa.array(canons[idx].astype(object), pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(path, "part-00000-seen.parquet"))
+
+
 def _write_metrics_pyarrow(path: str, k: int, scheduled: int, parsed: int, skipped_robots: int) -> None:
     """Lite-mode metrics row written driver-side (no Spark job)."""
     import pyarrow as pa
@@ -395,6 +421,15 @@ class CrawlEngine:
             size_hint=n_cand,  # footer count: upper bound on schedule rows
             serial_limit=self.seq_serial_limit,
         )
+        # PIN the schedule (eager localCheckpoint): it is consumed twice
+        # below (fetch keys + the join-back) and its window stack itself
+        # references the picked rows twice (rank join) — unpinned, the
+        # salted windows re-execute up to 4× inside the parsed_links
+        # job (measured ~40% of the steady-iteration cost at sf0.1).
+        # Content is deterministic either way (ranged≡serial test), so
+        # pinning only collapses duplicate work; on a cluster a lost
+        # executor re-runs the iteration from the committed checkpoint.
+        schedule = schedule.localCheckpoint(eager=True)
         fetch_keys = schedule.select("url_canon")
         if n_cand <= self.fetch_broadcast_limit:
             fetch_keys = F.broadcast(fetch_keys)
@@ -407,21 +442,19 @@ class CrawlEngine:
         parsed_full = schedule.join(parsed_pages, "url_canon", "left").withColumn(
             "fetched", F.col("parsed").isNotNull()
         )
-        pl_path = _write(
-            parsed_full.select(
-                "iteration", "seq", "url_canon", "url_hash", "host",
-                "priority", "depth", "disc_seq", "attempts", "url", "fetched",
-                F.col("parsed.id").alias("id"),
-                F.col("parsed.title").alias("title"),
-                F.col("parsed.authors").alias("authors"),
-                F.col("parsed.abstract").alias("abstract"),
-                F.col("parsed.pdf_url").alias("pdf_url"),
-                F.col("parsed.source_url").alias("source_url"),
-                F.col("parsed.text").alias("text"),
-                F.col("parsed.links").alias("links"),
-            ),
-            "parsed_links",
+        pl_projected = parsed_full.select(
+            "iteration", "seq", "url_canon", "url_hash", "host",
+            "priority", "depth", "disc_seq", "attempts", "url", "fetched",
+            F.col("parsed.id").alias("id"),
+            F.col("parsed.title").alias("title"),
+            F.col("parsed.authors").alias("authors"),
+            F.col("parsed.abstract").alias("abstract"),
+            F.col("parsed.pdf_url").alias("pdf_url"),
+            F.col("parsed.source_url").alias("source_url"),
+            F.col("parsed.text").alias("text"),
+            F.col("parsed.links").alias("links"),
         )
+        pl_path = _write(pl_projected, "parsed_links")
         n_sched = _count_parquet(pl_path)
         if n_sched == 0:
             shutil.rmtree(tmp)
@@ -476,17 +509,47 @@ class CrawlEngine:
         # anti-pattern at a 10^10-URL frontier. Exact mode keeps the
         # full rewrite (its anti-join probe needs one consolidated
         # table and it exists for fixture-scale determinism anyway).
-        delta_seen = (
-            pl_rb.filter(F.col("fetched")).select("url_hash", "url_canon")
-            .unionByName(cand_rb.filter(~F.col("robots_ok")).select("url_hash", "url_canon"))
-            .dropDuplicates(["url_hash"])
+        # Delta-size gate for the WRITE itself: when this iteration's
+        # delta is bounded (n_sched + n_disallowed from footers — both
+        # known without an action), the delta is assembled driver-side
+        # with pyarrow from the two parquet tables just written (one
+        # masked column read each, numpy dedup, one file write) — no
+        # Spark job at all. Past the limit, the distributed plan runs.
+        # This is the same driver-vs-distributed gating the bloom update
+        # below already uses, applied one step earlier. Never in
+        # bloom_impl="table" — that mode's contract is that the driver
+        # materializes NO hashes, ever (tested by poisoning _read_col).
+        delta_bound = n_sched + n_disallowed
+        driver_delta_ok = self._probabilistic and not (
+            self.seen_mode == "bloom" and self.bloom_impl == "table"
         )
-        if self._probabilistic:
-            seen_path = _write(delta_seen, "seen")
-        else:
-            seen_path = _write(
-                delta_seen.unionByName(seen).dropDuplicates(["url_hash"]), "seen"
+        if driver_delta_ok and delta_bound <= self.bloom_delta_driver_limit:
+            seen_path = os.path.join(tmp, "seen")
+            t0 = time.monotonic()
+            _write_seen_delta_pyarrow(
+                seen_path,
+                fetched=(
+                    _read_col(pl_path, "url_hash", "fetched", True),
+                    _read_col(pl_path, "url_canon", "fetched", True),
+                ),
+                disallowed=(
+                    _read_col(cand_path, "url_hash", "robots_ok", False),
+                    _read_col(cand_path, "url_canon", "robots_ok", False),
+                ),
             )
+            job_ms["seen"] = int((time.monotonic() - t0) * 1000)
+        else:
+            delta_seen = (
+                pl_rb.filter(F.col("fetched")).select("url_hash", "url_canon")
+                .unionByName(cand_rb.filter(~F.col("robots_ok")).select("url_hash", "url_canon"))
+                .dropDuplicates(["url_hash"])
+            )
+            if self._probabilistic:
+                seen_path = _write(delta_seen, "seen")
+            else:
+                seen_path = _write(
+                    delta_seen.unionByName(seen).dropDuplicates(["url_hash"]), "seen"
+                )
         n_fetch_miss = _col_sum_false(pl_path, "fetched")
         if self.seen_mode == "cuckoo":
             # cuckoo shards: driver-held tables, delete-capable (the

@@ -267,3 +267,37 @@ def test_fetch_retry_semantics(spark, tmp_path):
     for (u, att), p in pr.items():
         if att > 0:
             assert p < pr[(u, 0)]
+
+
+def test_lite_mode_matches_detailed(spark, fixture, mirror_result, tmp_path):
+    """detailed_metrics=False (the bench/steady-loop path) writes its
+    metrics driver-side and skips the per-partition lineage job — the
+    schedule, parsed text, seen set, and the manifest counters must be
+    identical to detailed mode (both run the pinned-schedule plan)."""
+    import glob
+    import json
+
+    lite = _run_engine(
+        spark, fixture, tmp_path / "ckl", seen_mode="bloom", detailed_metrics=False
+    )
+    _assert_matches_mirror(lite, mirror_result, fixture)
+    detailed = _run_engine(spark, fixture, tmp_path / "ckd", seen_mode="bloom")
+
+    def counters(eng):
+        out = {}
+        for m in sorted(glob.glob(str(eng.ckpt) + "/iter=*/_manifest.json")):
+            c = json.load(open(m))["counts"]
+            out[c["iteration"]] = {
+                k: c[k]
+                for k in ("input_rows", "scheduled", "parsed", "skipped_robots",
+                          "fetch_misses", "frontier_next")
+            }
+        return out
+
+    assert counters(lite) == counters(detailed)
+    # resume works from a lite checkpoint
+    lite2 = _run_engine(
+        spark, fixture, tmp_path / "ckl", seen_mode="bloom",
+        detailed_metrics=False, resume_at=2
+    )
+    _assert_matches_mirror(lite2, mirror_result, fixture)
