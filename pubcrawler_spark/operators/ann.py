@@ -166,6 +166,59 @@ def ivf_assign(
     return emb.withColumn(out_col, _assign(F.col(vec_col)))
 
 
+def build_ivf_index(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 13,
+    train_sample: int = 4096,
+) -> tuple[np.ndarray, DataFrame]:
+    """IVF index-build step: train the coarse quantizer on a bounded
+    seeded sample, assign every vector its cluster_id (one Arrow pass).
+    Returns ``(centroids, assigned_df)``.
+
+    This is the step that runs ONCE per corpus (like the posting-table
+    build): at scale the assigned table is written ``partitionBy(
+    "cluster_id")`` so a probe is a partition-pruned scan of n_probe
+    directories — retraining/reassigning per query would be a full
+    corpus pass per search. Training is deterministic for a fixed
+    input + seed: the Bernoulli sample is a scan-side filter (no
+    shuffle, no global sort) and partition-stable, and the k-means is
+    seeded with a fixed iteration count — so a rebuilt quantizer
+    reproduces the stored assignment exactly.
+    """
+    n_rows = emb.count()
+    frac = min(1.0, (3.0 * train_sample) / max(n_rows, 1))
+    rows = (
+        emb.select(vec_col).sample(fraction=frac, seed=seed).limit(train_sample).collect()
+        if frac < 1.0
+        else emb.select(vec_col).limit(train_sample).collect()
+    )
+    sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    cent = _train_centroids(sample, n_centroids, seed)
+    return cent, ivf_assign(emb, cent, vec_col)
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    qvec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF query step over a PRE-BUILT index: rank centroids against the
+    query, scan only the ``n_probe`` nearest clusters (partition-pruned
+    when the assigned table is partitioned by cluster_id), exact cosine
+    re-rank inside them. With ``n_probe == n_centroids`` this degrades
+    to the exact scan (recall 1) — the tunable recall/cost dial."""
+    q = np.asarray(_qnorm(qvec), dtype=np.float64)
+    probe = np.argsort(-(centroids @ q))[:n_probe].tolist()
+    cands = assigned.filter(F.col("cluster_id").isin([int(p) for p in probe]))
+    return cosine_topk(cands, qvec, k, id_col, vec_col)
+
+
 def ivf_topk(
     emb: DataFrame,
     qvec: list[float],
@@ -177,34 +230,11 @@ def ivf_topk(
     seed: int = 13,
     train_sample: int = 4096,
 ) -> DataFrame:
-    """IVF approximate top-k (the other standard ANN scale path next to
-    LSH): coarse k-means quantizer → per-vector cluster assignment →
-    probe the ``n_probe`` centroids nearest the query → exact cosine
-    re-rank inside the probed clusters only. With ``n_probe ==
-    n_centroids`` this degrades to the exact scan (recall 1), giving a
-    tunable recall/cost dial; assignment and training are deterministic
-    (seeded), so results are stable across runs.
-    """
-    # Seeded sample, NOT orderBy(id).limit(): a global sort of the corpus
-    # just to pick training rows is a full shuffle at 10^8 vectors. The
-    # Bernoulli sample is a scan-side filter (no shuffle, no sort) and is
-    # deterministic for a fixed input + seed (partition-stable: the same
-    # files split the same way replay the same per-partition RNG draws).
-    # Oversample 3× the target then trim; tiny inputs fall back to take().
-    n_rows = emb.count()
-    frac = min(1.0, (3.0 * train_sample) / max(n_rows, 1))
-    rows = (
-        emb.select(vec_col).sample(fraction=frac, seed=seed).limit(train_sample).collect()
-        if frac < 1.0
-        else emb.select(vec_col).limit(train_sample).collect()
-    )
-    sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
-    cent = _train_centroids(sample, n_centroids, seed)
-    q = np.asarray(_qnorm(qvec), dtype=np.float64)
-    probe = np.argsort(-(cent @ q))[:n_probe].tolist()
-    assigned = ivf_assign(emb, cent, vec_col)
-    cands = assigned.filter(F.col("cluster_id").isin([int(p) for p in probe]))
-    return cosine_topk(cands, qvec, k, id_col, vec_col)
+    """Convenience build+search in one call (small corpora / tests);
+    production splits into :func:`build_ivf_index` (once) +
+    :func:`ivf_search` (per query) over a materialized assigned table."""
+    cent, assigned = build_ivf_index(emb, n_centroids, vec_col, seed, train_sample)
+    return ivf_search(assigned, cent, qvec, k, n_probe, id_col, vec_col)
 
 
 def semantic_search(

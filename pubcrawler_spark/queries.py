@@ -54,13 +54,13 @@ def _index_cache_key(sf_dir: str, name: str) -> str:
 
     from pubcrawler_spark import sinks
     from pubcrawler_spark.functions import stem
-    from pubcrawler_spark.operators import search
+    from pubcrawler_spark.operators import ann, search
 
     h = hashlib.sha256()
-    for mod in (sinks, search, stem):
+    for mod in (sinks, search, stem, ann):
         h.update(inspect.getsource(mod).encode())
     h.update(f"{sf_dir}:{name}".encode())
-    for fname in ("documents.parquet",):
+    for fname in ("documents.parquet", "embeddings.parquet"):
         p = os.path.join(sf_dir, fname)
         if os.path.isfile(p):
             st = os.stat(p)
@@ -72,7 +72,7 @@ def _index_cache_key(sf_dir: str, name: str) -> str:
     return h.hexdigest()[:16]
 
 
-def _materialized(spark: SparkSession, sf_dir: str, name: str, build_fn) -> DataFrame:
+def _materialized(spark: SparkSession, sf_dir: str, name: str, build_fn, writer=None) -> DataFrame:
     """Build-once parquet materialization for search indexes (the K4
     index-build step): at scale these are Iceberg tables written by the
     indexing job; queries only JOIN against them — a per-query corpus
@@ -90,7 +90,12 @@ def _materialized(spark: SparkSession, sf_dir: str, name: str, build_fn) -> Data
     path = os.path.join(tempfile.gettempdir(), f"pubcrawler_idx_{name}_{key}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         scratch = f"{path}__build_{uuid.uuid4().hex[:8]}"
-        build_fn().write.mode("overwrite").parquet(scratch)
+        if writer is not None:
+            # custom writer (e.g. sinks.write_index) — it swaps its own
+            # output into `scratch` atomically; we rename once more
+            writer(build_fn(), scratch)
+        else:
+            build_fn().write.mode("overwrite").parquet(scratch)
         try:
             os.rename(scratch, path)  # atomic on the same filesystem
         except OSError:
@@ -738,9 +743,7 @@ def q39(spark, sf_dir):
     return textstats.scrub_pii(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
-@q(
-    "q36_posting_table",
-    """
+_POSTING_AGG_SQL = """
     WITH toks AS (
       SELECT doc_id AS doc, 'text' AS col,
              unnest(string_split_regex(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+')) AS term
@@ -754,8 +757,10 @@ def q39(spark, sf_dir):
     SELECT term, col, COUNT(*) AS df, SUM(tf)::BIGINT AS total_tf
     FROM postings GROUP BY term, col
     ORDER BY df DESC, term, col LIMIT 100
-    """,
-)
+    """
+
+
+@q("q36_posting_table", _POSTING_AGG_SQL)
 def q36(spark, sf_dir):
     """K4 posting-table build under a SQL oracle: per-(term, col)
     document frequency and total tf over the materialized posting rows
@@ -766,6 +771,31 @@ def q36(spark, sf_dir):
     postings = sinks.build_posting_table(d, "doc_id", text_cols=("text", "source"))
     return (
         postings.groupBy("term", "col")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("total_tf"))
+        .orderBy(F.desc("df"), "term", "col")
+        .limit(100)
+    )
+
+
+@q("q42_compacted_posting_index", _POSTING_AGG_SQL)
+def q42(spark, sf_dir):
+    """K4 compaction path under the SAME SQL oracle as q36: the posting
+    table goes through sinks.write_index (the FTS5 post-bulk-load
+    ``optimize`` analog — term-range-partitioned, sorted, size-targeted
+    files; /root/reference/src/search/indexer.py:99) and the aggregation
+    runs over the COMPACTED files. Identical results to q36 prove the
+    rewrite preserves content; the compacted layout is what makes
+    term-equality scans prune whole files via parquet min/max stats."""
+    from pubcrawler_spark import sinks
+
+    d = _t(spark, sf_dir, "documents")
+    compacted = _materialized(
+        spark, sf_dir, "postings_compacted",
+        lambda: sinks.build_posting_table(d, "doc_id", text_cols=("text", "source")),
+        writer=lambda df, path: sinks.write_index(df, path, sort_cols=("term", "col", "doc")),
+    )
+    return (
+        compacted.groupBy("term", "col")
         .agg(F.count("*").alias("df"), F.sum("tf").alias("total_tf"))
         .orderBy(F.desc("df"), "term", "col")
         .limit(100)
@@ -795,12 +825,21 @@ def q37(spark, sf_dir):
 
 @q("q35_ann_ivf_topk")  # k-means quantizer — rows-only (approximate path)
 def q35(spark, sf_dir):
-    """IVF ANN: seeded coarse k-means → cluster assignment (Arrow pass)
-    → probe nearest n_probe clusters → exact re-rank inside them. The
-    bucketed/partition-pruned counterpart of the LSH path (q22)."""
+    """IVF ANN over a MATERIALIZED index: the assigned table is built
+    once per corpus and stored partitionBy(cluster_id) — the inverted-
+    file layout, so each query scans only the n_probe probed clusters'
+    directories (partition pruning). The quantizer is deterministic
+    (seeded sample + seeded k-means), so the rebuilt centroids at query
+    time reproduce the stored assignment exactly."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return ann.ivf_topk(emb, list(qvec), k=10, n_centroids=16, n_probe=6)
+    cent, _ = ann.build_ivf_index(emb, n_centroids=16)
+    assigned = _materialized(
+        spark, sf_dir, "ivf_assigned",
+        lambda: ann.build_ivf_index(emb, n_centroids=16)[1],
+        writer=lambda df, path: df.write.partitionBy("cluster_id").mode("overwrite").parquet(path),
+    )
+    return ann.ivf_search(assigned, cent, list(qvec), k=10, n_probe=6)
 
 
 @q("q33_incremental_embed")  # murmur3 hash-encoder — rows-only

@@ -111,6 +111,18 @@ def test_q32_banded_exchange_carries_no_vectors(spark):
             )
 
 
+def test_q35_ivf_scan_is_partition_pruned(spark):
+    """The IVF assigned table is partitionBy(cluster_id); a probe must
+    reach the parquet scan as a PartitionFilter (only the n_probe
+    cluster directories are listed/read — the inverted-file layout)."""
+    p = _plan(spark, "q35_ann_ivf_topk")
+    pruned = [
+        l for l in p.splitlines()
+        if "PartitionFilters" in l and "cluster_id" in l
+    ]
+    assert pruned, f"cluster_id probe not pushed as a partition filter:\n{p[:2000]}"
+
+
 def test_q23_exact_neardup_is_the_small_scale_oracle(spark):
     """Contrast check: exact mode IS the nested-loop all-pairs plan
     (documented ≤10k-row oracle baseline), so the q32 assertion above
