@@ -345,14 +345,19 @@ def run_scaling(n_pages: int, budget: int = BENCH_BUDGET, replicas: int = 3) -> 
         )
         return json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
 
-    # median of 3 per level: single-run variance on a shared VM is ±15%
-    # (observed outliers 2.5x on the 8-core leg)
-    def median3(mode_flag, cpus, extra):
-        runs = sorted((run(mode_flag, cpus, extra) for _ in range(3)),
+    # median of N per level: single-run variance on a shared VM is ±15%
+    # with bursty outliers (observed 14.1k/17.3k/25.7k URLs/s in three
+    # consecutive 8-core stage runs — CPU steal hits the wide leg
+    # hardest), so the stage leg takes median-of-5
+    def median_of(n, mode_flag, cpus, extra):
+        runs = sorted((run(mode_flag, cpus, extra) for _ in range(n)),
                       key=lambda r: r["urls_per_sec"])
-        return runs[1]
+        return runs[n // 2]
 
-    stage = {c: median3("--stage", c, ["--replicas", "4"]) for c in (2, 8, 32)}
+    def median3(mode_flag, cpus, extra):
+        return median_of(3, mode_flag, cpus, extra)
+
+    stage = {c: median_of(5, "--stage", c, ["--replicas", "4"]) for c in (2, 8, 32)}
     # mega iteration sized so per-iteration work dominates the fixed
     # cost (~1.5M scheduled+parsed URLs — still 10x below the 10^7-10^8
     # URLs/iteration the north rule targets, where amortization is
@@ -437,15 +442,15 @@ iteration, <5% at the north-star 10^7-10^8-URL iteration size).
 
 ## 3. Steady-state loop at representative iteration size
 3 steady iterations over the ×3-replicated corpus
-({loop[2]["scheduled"]} scheduled / {loop[2]["parsed"]} parsed per leg,
-host budget 2000) — iterations carry ~10^5 URLs each, the smallest
-size a 10^10-URL frontier would ever see (north-rule iterations are
-10^7-10^8 URLs, where amortization is strictly better):
+({loop[2]["frontier"]["scheduled"]} scheduled / {loop[2]["frontier"]["parsed"]}
+parsed per leg, host budget 2000) — iterations carry ~10^5 URLs each,
+the smallest size a 10^10-URL frontier would ever see (north-rule
+iterations are 10^7-10^8 URLs, where amortization is strictly better):
 
 | parallelism | URLs/sec | wall sec |
 |---|---|---|
-| local[2] | {loop[2]["urls_per_sec"]} | {loop[2]["frontier_wall_sec"]} |
-| local[8] | {loop[8]["urls_per_sec"]} | {loop[8]["frontier_wall_sec"]} |
+| local[2] | {loop[2]["urls_per_sec"]} | {loop[2]["frontier"]["frontier_wall_sec"]} |
+| local[8] | {loop[8]["urls_per_sec"]} | {loop[8]["frontier"]["frontier_wall_sec"]} |
 
 **Efficiency N→4N = {loop_eff}.**
 
@@ -480,12 +485,19 @@ median-of-3 in §2 above):
 | 0.25M (r=1) | 8,972 | 19,923 | 0.56 |
 | 0.74M (r=3) | 16,009 | 36,797 | 0.58 |
 | 1.49M (r=6) | 16,040 | 47,170 | 0.74 |
+| 2.23M (r=9, 16g) | 10,039 | 38,005 | (0.95)* |
+| 2.23M (r=9, 24g) | 13,142 | 31,169 | (0.59)* |
 
-Both legs amortize toward their work-bound rate; the 4N leg is still
-climbing at 1.49M while the N leg has plateaued (~16k, work-bound).
-The north-rule regime is 10^7–10^8 URLs/iteration — 10–100× beyond the
-largest point this box can hold in cache (r=12 ≈ 3M URLs exceeds the
-corpus cache and spills: 37.0k at 4N, slower than r=6) — where the
+*The r=9 points (r3 round) are HEAP-BOUNDARY CONFOUNDED both ways and
+excluded from the trend: at 16g the 2.7M-page corpus spills the cache
+and throttles the N leg (ratio inflated to a meaningless 0.95); at
+24g the oversized-heap GC pathology (§6) throttles the 4N leg. The
+box cleanly measures up to ~1.5M-URL iterations — beyond that the
+binding constant is single-box corpus-cache capacity, not engine
+scaling. Both legs amortize toward their work-bound rate through
+r=6; the 4N leg is still climbing at 1.49M while the N leg has
+plateaued (~16-17k, work-bound). The north-rule regime is 10^7–10^8
+URLs/iteration — 10–100× beyond what this box can hold — where the
 fixed share drops under 4% and the iteration efficiency converges to
 the data-proportional stage's efficiency (measurement 1), which is the
 component that actually bounds a 10^10-URL crawl.
@@ -496,6 +508,27 @@ An oversized driver heap silently destroys the 16 KB-page stage:
 48g → 4,465 URLs/s vs 8g → 27,424 URLs/s at local[8] (G1 keeps
 committing fresh pages under Arrow-buffer churn instead of recycling
 hot ones). bench.py right-sizes per mode (8g default, 16g for --mega).
+
+## 7. Cross-regen variance (measurement honesty)
+
+This is a shared VM: three consecutive single 8-core stage runs on an
+otherwise-idle box measured 14.1k / 17.3k / 25.7k URLs/s (±40%), so
+per-leg medians (5 for stage, 3 elsewhere) are load-bearing. Three
+full regens of IDENTICAL r3 code within one evening:
+
+| leg | regen 1 | regen 2 | regen 3 | median | r2 round (quieter window) |
+|---|---|---|---|---|---|
+| stage | 0.659 | 0.778 | 0.736 | 0.736 | 0.863 |
+| mega iteration | 0.705 | 0.621 | 0.695 | 0.695 | 0.735 |
+| loop (representative) | 0.521 | 0.485 | 0.510 | 0.510 | n/a (new leg) |
+| loop (fixture) | 0.415 | 0.417 | 0.467 | 0.417 | 0.335 |
+
+The tables above carry the LAST regen's values; the medians are the
+better point estimates. The engine-code deltas this round are real and
+visible through the noise: the fixture loop rose 0.335 → ~0.42
+(schedule pin + driver-side seen delta), mega absolute throughput rose
+at both legs (16.0k→17.1k at N, 47.2k→peak 54.2k at 4N), and the
+representative loop clears 0.5 in 2 of 3 regens.
 
 Raw: `{json.dumps({"stage": stage, "mega": mega, "loop": loop, "loop_fixture": loop_fixture})}`
 """)
