@@ -181,10 +181,16 @@ def run_frontier_bench(spark, n_pages: int, budget: int = BENCH_BUDGET, replicas
 
 
 def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
+    """Per-query latency, measured warm: each query runs once untimed
+    first so one-time costs — the materialized index builds (K4/IVF,
+    the run-once-per-corpus jobs, measured as their own sink step) and
+    JVM codegen — don't masquerade as query cost. Query plans
+    themselves get no data caching (noop sink, no .cache())."""
     from pubcrawler_spark.queries import QUERIES
 
     out = {}
     for name in HEADLINE_QUERIES:
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.monotonic()
         df = QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
