@@ -288,3 +288,75 @@ def trigram_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
         F.lit(0).cast("long").alias("n_trigrams"),
     )
     return ent.unionByName(empty)
+
+
+def gopher_repetition(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher repetition-removal signals (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", Table A1) — the standard webtext
+    filters for boilerplate- and template-heavy pages:
+
+    - ``dup_line_frac`` — fraction of (non-empty) lines that are
+      repeats of an earlier line (1 − distinct/total);
+    - ``dup_line_char_frac`` — fraction of line characters contained
+      in those excess repeats;
+    - ``top_bigram_frac`` — fraction of word-bigram occurrences taken
+      by the single most frequent bigram (ties broken by the bigram
+      string so both engines pick the same winner).
+
+    Line signals are pure array expressions (no explode); the bigram
+    signal follows trigram_entropy's explode→count→agg shape. Exact
+    ANSI-SQL oracle (q43).
+    """
+    col = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(col, "\n"), lambda x: F.length(x) > 0)
+    n_lines = F.size(lines)
+    n_dist = F.size(F.array_distinct(lines))
+    chars = F.aggregate(lines, F.lit(0), lambda a, x: a + F.length(x))
+    dist_chars = F.aggregate(F.array_distinct(lines), F.lit(0), lambda a, x: a + F.length(x))
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.round(
+            F.when(n_lines > 0, (n_lines - n_dist) / n_lines.cast("double")).otherwise(0.0), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(chars > 0, (chars - dist_chars) / chars.cast("double")).otherwise(0.0), 6
+        ).alias("dup_line_char_frac"),
+        F.filter(
+            F.split(F.lower(F.regexp_replace(col, r"[^\p{L}\p{N}_\s]", "")), r"\s+"),
+            lambda x: F.length(x) > 0,
+        ).alias("__toks"),
+    )
+    bigrams = base.select(
+        "doc",
+        F.explode(
+            F.filter(
+                F.zip_with(
+                    "__toks",
+                    F.slice(F.col("__toks"), 2, F.greatest(F.size("__toks") - 1, F.lit(1))),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+                lambda x: x.contains(" "),
+            )
+        ).alias("bg"),
+    )
+    counts = bigrams.groupBy("doc", "bg").agg(F.count("*").alias("c"))
+    top = (
+        counts.groupBy("doc")
+        .agg(
+            F.max(F.struct(F.col("c"), F.col("bg"))).alias("__top"),
+            F.sum("c").alias("n_bigrams"),
+        )
+        .select(
+            "doc",
+            F.round(F.col("__top.c") / F.col("n_bigrams").cast("double"), 6).alias("top_bigram_frac"),
+            "n_bigrams",
+        )
+    )
+    out = base.select("doc", "dup_line_frac", "dup_line_char_frac").join(top, "doc", "left")
+    return out.select(
+        "doc",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+    )

@@ -688,6 +688,45 @@ def q41(spark, sf_dir):
     return textstats.trigram_entropy(_t(spark, sf_dir, "documents")).orderBy("doc")
 
 
+@q(
+    "q43_gopher_repetition",
+    """
+    WITH d AS (SELECT doc_id AS doc, coalesce(text,'') AS t FROM documents),
+    l AS (SELECT doc, list_filter(string_split(t, chr(10)), x -> length(x) > 0) AS lines FROM d),
+    lf AS (SELECT doc,
+      len(lines) AS n_lines, len(list_distinct(lines)) AS n_dist,
+      list_aggregate(list_transform(lines, x -> length(x)), 'sum') AS chars,
+      list_aggregate(list_transform(list_distinct(lines), x -> length(x)), 'sum') AS dchars
+      FROM l),
+    linesig AS (SELECT doc,
+      ROUND(CASE WHEN n_lines > 0 THEN (n_lines - n_dist)/n_lines::DOUBLE ELSE 0.0 END, 6) AS dup_line_frac,
+      ROUND(CASE WHEN chars > 0 THEN (chars - dchars)/chars::DOUBLE ELSE 0.0 END, 6) AS dup_line_char_frac
+      FROM lf),
+    toks AS (SELECT doc,
+      list_filter(string_split_regex(regexp_replace(lower(t), '[^\\p{L}\\p{N}_\\s]', '', 'g'), '\\s+'), x -> length(x) > 0) AS tk
+      FROM d),
+    bgr AS (SELECT doc, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+            FROM toks WHERE len(tk) >= 2),
+    c AS (SELECT doc, bg, COUNT(*) AS c FROM bgr GROUP BY doc, bg),
+    r AS (SELECT doc, c, ROW_NUMBER() OVER (PARTITION BY doc ORDER BY c DESC, bg DESC) AS rn,
+                 SUM(c) OVER (PARTITION BY doc) AS tot FROM c),
+    topsig AS (SELECT doc, ROUND(c/tot::DOUBLE, 6) AS top_bigram_frac, tot::BIGINT AS n_bigrams
+               FROM r WHERE rn = 1)
+    SELECT ls.doc, ls.dup_line_frac, ls.dup_line_char_frac,
+           coalesce(t.top_bigram_frac, 0.0) AS top_bigram_frac,
+           coalesce(t.n_bigrams, 0)::BIGINT AS n_bigrams
+    FROM linesig ls LEFT JOIN topsig t USING (doc)
+    ORDER BY ls.doc
+    """,
+)
+def q43(spark, sf_dir):
+    """Gopher repetition-removal signals (Rae et al. 2021 Table A1):
+    duplicate-line fraction, duplicate-line character fraction, and the
+    top-bigram occupancy — the standard boilerplate/template filters of
+    a webtext training pipeline, exact SQL oracle."""
+    return textstats.gopher_repetition(_t(spark, sf_dir, "documents")).orderBy("doc")
+
+
 @q("q40_winnow_pairs")  # rolling-hash fingerprints — rows-only
 def q40(spark, sf_dir):
     """Winnowing (Schleimer et al. 2003) near-dup candidates: rolling

@@ -177,3 +177,31 @@ def test_winnow_fingerprints_guarantee(spark):
     # pair ranking surfaces exactly the planted pair
     pairs = textstats.winnow_pairs(df, k=8, window=4, min_shared=2).collect()
     assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_gopher_repetition_planted(spark):
+    """Planted boilerplate: a doc that repeats one line and one bigram
+    scores high on all three Gopher signals; a clean doc scores 0."""
+    from pubcrawler_spark.operators import textstats
+
+    rows = [
+        # 4 lines, 3 of them identical; bigram "buy now" dominates
+        (0, "buy now buy now buy now\nbuy now buy now buy now\nbuy now buy now buy now\nunique closing line"),
+        # all-distinct lines, every bigram unique
+        (1, "alpha beta\ngamma delta\nepsilon zeta"),
+        (2, ""),  # empty doc: all signals 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc"]: r for r in textstats.gopher_repetition(df).collect()}
+    assert got[0]["dup_line_frac"] == 0.5  # 2 excess copies / 4 lines
+    assert got[0]["dup_line_char_frac"] > 0.5
+    # doc 0 has 21 tokens -> 20 bigram occurrences; "buy now" takes 9
+    assert got[0]["top_bigram_frac"] == round(9 / 20, 6)
+    assert got[0]["n_bigrams"] == 20
+    assert got[1]["dup_line_frac"] == 0.0
+    assert got[1]["dup_line_char_frac"] == 0.0
+    # every bigram occurs once; winner is the max-string tie-break
+    assert got[1]["top_bigram_frac"] == 0.2
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[2]["top_bigram_frac"] == 0.0
+    assert got[2]["n_bigrams"] == 0
