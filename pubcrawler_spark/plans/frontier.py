@@ -28,12 +28,19 @@ Throughput engineering (north-star metric is URLs/sec):
 - ONE Spark job per state table per iteration — no standalone
   ``count()`` actions; row counts come free from the parquet footers of
   the files just written (``_count_parquet``).
-- The schedule is written first and read back, so every downstream
-  consumer (fetch join, leftover anti-join, seen update) reuses the
-  materialized 200-byte rows instead of re-running the canonicalize UDF
-  and the window stack.
-- The fetch join broadcasts the (budget-bounded) schedule against the
-  cached pages corpus — the corpus never shuffles.
+- Candidates are written first and read back, so every downstream
+  consumer (schedule, leftover anti-join, seen update) reuses the
+  materialized rows instead of re-running the canonicalize UDF and the
+  seen probe; the SCHEDULE is pinned with an eager ``localCheckpoint``
+  because it is consumed twice (fetch keys + join-back) and its rank
+  join doubles again — unpinned, the salted windows re-executed up to
+  4× inside the parsed_links job.
+- The fetch join broadcasts the (budget-bounded) schedule keys against
+  the cached pages corpus — the corpus never shuffles.
+- Small seen deltas (bounded by footer counts) are assembled
+  driver-side with pyarrow from the tables already on disk — no fourth
+  Spark job; the distributed write remains past
+  ``bloom_delta_driver_limit`` and always in ``bloom_impl="table"``.
 - ``skipped_seen`` needs an extra aggregation pass, so it is only
   computed when ``detailed_metrics=True`` (tests); bench runs lite.
 
