@@ -230,6 +230,16 @@ def build_bm25_index(df: DataFrame, id_col: str, text_col: str = "text") -> tupl
     return tf, dl
 
 
+def bm25_corpus_stats(dl: DataFrame) -> DataFrame:
+    """One-row (n_docs, avgdl) corpus-stats table — computed at INDEX
+    BUILD time and stored beside (tf, dl), so :func:`bm25_search` reads
+    two scalars from a materialized 1-row table instead of running an
+    aggregation job per query."""
+    return dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+
 def bm25_search(
     df: DataFrame | None,
     query_terms: list[str],
@@ -239,6 +249,7 @@ def bm25_search(
     b: float = 0.75,
     top_n: int = 20,
     index: tuple[DataFrame, DataFrame] | None = None,
+    stats: tuple[float, float] | None = None,
 ) -> DataFrame:
     """BM25 ranking over the (tf, dl) posting index (the FTS5 ``ORDER BY
     rank`` analog, W2/K4 — search_service.py:158).
@@ -248,17 +259,22 @@ def bm25_search(
 
     Pass ``index=`` (a materialized :func:`build_bm25_index` output) so
     the query plan scans the posting table — the per-query corpus
-    re-tokenization only happens in the convenience ``df`` form. The
-    two corpus scalars (N, avgdl) collect once per query (at scale,
-    store them beside the index). Exactly reproducible in ANSI SQL
-    (oracle-checked as q31).
+    re-tokenization only happens in the convenience ``df`` form. Pass
+    ``stats=(n_docs, avgdl)`` — read from the 1-row
+    :func:`bm25_corpus_stats` table stored beside the index — so the
+    per-query plan is join-only; without it the two scalars are
+    aggregated from ``dl`` once per query (convenience/test path).
+    Exactly reproducible in ANSI SQL (oracle-checked as q31).
     """
     if index is None:
         if df is None:
             raise ValueError("need either df or index")
         index = build_bm25_index(df, id_col, text_col)
     tf, dl = index
-    n_docs, avgdl = dl.agg(F.count("*"), F.avg("dl")).collect()[0]
+    if stats is not None:
+        n_docs, avgdl = stats
+    else:
+        n_docs, avgdl = dl.agg(F.count("*"), F.avg("dl")).collect()[0]
 
     qt = tf.filter(F.col("term").isin(query_terms)).join(dl, "doc")
     df_t = qt.groupBy("term").agg(F.countDistinct("doc").alias("df"))

@@ -321,8 +321,11 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
         F.round(
             F.when(chars > 0, (chars - dist_chars) / chars.cast("double")).otherwise(0.0), 6
         ).alias("dup_line_char_frac"),
+        # lower BEFORE stripping, mirroring the q43 oracle: Unicode case
+        # mappings can emit combining marks (İ → i + U+0307, a \p{M}),
+        # so the two orders tokenize such text differently
         F.filter(
-            F.split(F.lower(F.regexp_replace(col, r"[^\p{L}\p{N}_\s]", "")), r"\s+"),
+            F.split(F.regexp_replace(F.lower(col), r"[^\p{L}\p{N}_\s]", ""), r"\s+"),
             lambda x: F.length(x) > 0,
         ).alias("__toks"),
     )

@@ -72,6 +72,15 @@ def _index_cache_key(sf_dir: str, name: str) -> str:
     return h.hexdigest()[:16]
 
 
+def _idx_path(sf_dir: str, name: str) -> str:
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), f"pubcrawler_idx_{name}_{_index_cache_key(sf_dir, name)}"
+    )
+
+
 def _materialized(spark: SparkSession, sf_dir: str, name: str, build_fn, writer=None) -> DataFrame:
     """Build-once parquet materialization for search indexes (the K4
     index-build step): at scale these are Iceberg tables written by the
@@ -83,11 +92,9 @@ def _materialized(spark: SparkSession, sf_dir: str, name: str, build_fn, writer=
     sees a half-written index."""
     import os
     import shutil
-    import tempfile
     import uuid
 
-    key = _index_cache_key(sf_dir, name)
-    path = os.path.join(tempfile.gettempdir(), f"pubcrawler_idx_{name}_{key}")
+    path = _idx_path(sf_dir, name)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         scratch = f"{path}__build_{uuid.uuid4().hex[:8]}"
         if writer is not None:
@@ -98,9 +105,21 @@ def _materialized(spark: SparkSession, sf_dir: str, name: str, build_fn, writer=
             build_fn().write.mode("overwrite").parquet(scratch)
         try:
             os.rename(scratch, path)  # atomic on the same filesystem
-        except OSError:
-            # lost the race to a concurrent builder — its index is
-            # equivalent (same content key); drop ours
+        except OSError as e:
+            # only a concurrent builder winning the race leaves the
+            # target present (ENOTEMPTY/EEXIST); anything else
+            # (EXDEV, EACCES, ...) is a real failure — re-raise instead
+            # of silently discarding the fresh build and then crashing
+            # on an unrelated-looking read error
+            import errno
+
+            if e.errno not in (errno.ENOTEMPTY, errno.EEXIST) or not os.path.exists(
+                os.path.join(path, "_SUCCESS")
+            ):
+                shutil.rmtree(scratch, ignore_errors=True)
+                raise
+            # lost the race — the winner's index is equivalent (same
+            # content key); drop ours
             shutil.rmtree(scratch, ignore_errors=True)
     return spark.read.parquet(path)
 
@@ -867,17 +886,31 @@ def q35(spark, sf_dir):
     """IVF ANN over a MATERIALIZED index: the assigned table is built
     once per corpus and stored partitionBy(cluster_id) — the inverted-
     file layout, so each query scans only the n_probe probed clusters'
-    directories (partition pruning). The quantizer is deterministic
-    (seeded sample + seeded k-means), so the rebuilt centroids at query
-    time reproduce the stored assignment exactly."""
+    directories (partition pruning). The TRAINED centroids persist
+    beside the index (``_centroids.npy``, invisible to the parquet
+    reader) and the probe LOADS them — re-deriving the quantizer at
+    query time would couple correctness to reproducing the training
+    sample under the builder's exact session config (core count /
+    maxPartitionBytes change Spark's file partitioning and with it the
+    per-partition Bernoulli sample)."""
+    import os
+
+    import numpy as np
+
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    cent, _ = ann.build_ivf_index(emb, n_centroids=16)
+
+    def _writer(pair, path):
+        cent_built, assigned_df = pair
+        assigned_df.write.partitionBy("cluster_id").mode("overwrite").parquet(path)
+        np.save(os.path.join(path, "_centroids.npy"), cent_built)
+
     assigned = _materialized(
-        spark, sf_dir, "ivf_assigned",
-        lambda: ann.build_ivf_index(emb, n_centroids=16)[1],
-        writer=lambda df, path: df.write.partitionBy("cluster_id").mode("overwrite").parquet(path),
+        spark, sf_dir, "ivf_assigned_v2",
+        lambda: ann.build_ivf_index(emb, n_centroids=16),
+        writer=_writer,
     )
+    cent = np.load(os.path.join(_idx_path(sf_dir, "ivf_assigned_v2"), "_centroids.npy"))
     return ann.ivf_search(assigned, cent, list(qvec), k=10, n_probe=6)
 
 
@@ -989,7 +1022,14 @@ _BM25_TERMS = ["stream", "window", "vector"]
 def q31(spark, sf_dir):
     """W2/K4: BM25 ranking for a fixed 3-term query over the
     MATERIALIZED (tf, dl) posting index — the query plan scans the
-    index tables, never the corpus (index built once per sf_dir)."""
+    index tables, never the corpus (index built once per sf_dir). The
+    (n_docs, avgdl) corpus scalars live in a 1-row stats table written
+    at index build and are read driver-side from its parquet footprint
+    (no per-query aggregation job — the plan is join-only)."""
+    import os
+
+    import pyarrow.parquet as pq
+
     d = _t(spark, sf_dir, "documents")
     tf = _materialized(
         spark, sf_dir, "bm25_tf", lambda: search.build_bm25_index(d, "doc_id", "text")[0]
@@ -997,7 +1037,17 @@ def q31(spark, sf_dir):
     dl = _materialized(
         spark, sf_dir, "bm25_dl", lambda: search.build_bm25_index(d, "doc_id", "text")[1]
     )
-    return search.bm25_search(None, _BM25_TERMS, index=(tf, dl), top_n=20)
+    _materialized(
+        spark, sf_dir, "bm25_stats",
+        lambda: search.bm25_corpus_stats(search.build_bm25_index(d, "doc_id", "text")[1]),
+    )
+    stats_dir = _idx_path(sf_dir, "bm25_stats")
+    srow = pq.read_table(
+        [os.path.join(stats_dir, f) for f in sorted(os.listdir(stats_dir)) if f.endswith(".parquet")]
+    ).to_pylist()[0]
+    return search.bm25_search(
+        None, _BM25_TERMS, index=(tf, dl), stats=(srow["n_docs"], srow["avgdl"]), top_n=20
+    )
 
 
 # ===========================================================================
@@ -1024,7 +1074,11 @@ def q26(spark, sf_dir):
     """W3/W4 politeness scheduler under a SQL oracle: per-host top-5 by
     (priority desc, depth, seq) + deterministic global sequence. The
     Spark side runs the REAL engine path (canonicalize UDF + salted
-    two-pass window)."""
+    two-pass window). The canonicalized candidates are PINNED
+    (localCheckpoint) before the window stack, exactly as the engine
+    materializes its candidates table — unpinned, the demo plan
+    re-evaluates the canonicalize UDF on both sides of the salted
+    windows' rank join (the engine path never does)."""
     from pubcrawler_spark.functions.urltools import with_canonical_url
 
     e = _t(spark, sf_dir, "events")
@@ -1038,7 +1092,7 @@ def q26(spark, sf_dir):
             F.lit(0).alias("depth"),
             F.col("event_id").alias("seq"),
         )
-    )
+    ).localCheckpoint(eager=False)
     out = sched.pick_schedule(frontier, host_budget=5, iteration=0, salt_rows=200)
     return out.select("seq", "url_canon", "host", "priority").orderBy("seq")
 

@@ -121,9 +121,16 @@ def write_index(
             .write.mode("overwrite")
             .parquet(compacted)
         )
+        # swap without a visibility gap: rename the old index ASIDE
+        # (readers holding the old path keep their open files), rename
+        # the compacted build into place, then delete the old dir — a
+        # crash between steps leaves either the old or the new index
+        # present, never neither
+        old = f"{path}__old_{tag}"
         if os.path.isdir(path):
-            shutil.rmtree(path)
+            os.rename(path, old)
         os.rename(compacted, path)
+        shutil.rmtree(old, ignore_errors=True)
         n_out = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
         out_bytes = sum(
             os.path.getsize(os.path.join(path, f))
