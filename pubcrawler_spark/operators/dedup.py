@@ -234,6 +234,75 @@ def minhash_lsh_pairs(
     return est.orderBy("doc_a", "doc_b")
 
 
+def shingle_sets(df: DataFrame, id_col: str, text_col: str = "text", k: int = 5) -> DataFrame:
+    """(doc, shingles array<string>) — the distinct char-k-gram set per
+    doc as ONE array row (no explode). Used by :func:`verify_pairs_exact`
+    to re-verify candidate pairs without a shingle-level shuffle."""
+    norm = _norm_text(F.coalesce(F.col(text_col), F.lit("")))
+    df2 = df.select(F.col(id_col).alias("doc"), norm.alias("__t")).withColumn(
+        "__n", F.length("__t") - F.lit(k - 1)
+    )
+    return df2.select(
+        "doc",
+        F.when(
+            F.col("__n") > 0,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__n")),
+                    lambda i: F.col("__t").substr(i, F.lit(k)),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("shingles"),
+    )
+
+
+def verify_pairs_exact(
+    cand: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT char-k-gram Jaccard verification of candidate (doc_a,
+    doc_b) pairs — the verify stage of every sketch-based dedup family
+    (MinHash-LSH, SimHash, winnowing): candidates come from the cheap
+    bucketed sketch join; survivors are re-scored with the exact metric
+    so downstream keep/drop decisions never depend on sketch error.
+
+    Plan shape: two id equi-joins attach the per-doc shingle arrays to
+    the (small) candidate pair set; jaccard = |A∩B| / (|A|+|B|−|A∩B|)
+    via array_intersect — no shingle-level shuffle, work is
+    O(candidates × doc length). When the sketch's recall at ``threshold``
+    is 1 (seeded sketches, deterministic), the output EQUALS the exact
+    all-pairs result, which is what lets a DuckDB oracle value-check a
+    murmur3-sketch family end to end.
+    """
+    sets = shingle_sets(df, id_col, text_col, k)
+    out = (
+        cand.select("doc_a", "doc_b")
+        .join(sets.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("__sa")), "doc_a")
+        .join(sets.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("__sb")), "doc_b")
+        .withColumn("__n_inter", F.size(F.array_intersect("__sa", "__sb")))
+        .withColumn("__union", F.size("__sa") + F.size("__sb") - F.col("__n_inter"))
+        .withColumn(
+            "jaccard",
+            # two empty shingle sets have an undefined Jaccard — score 0
+            # (never a near-dup), not a divide-by-zero
+            F.when(
+                F.col("__union") > 0,
+                F.round(F.col("__n_inter") / F.col("__union"), 6),
+            ).otherwise(0.0),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------

@@ -210,10 +210,20 @@ def winnow_pairs(
     window: int = 4,
     min_shared: int = 2,
     max_fp_df: int | None = None,
+    min_shared_frac: float | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs by shared winnowing fingerprints:
     equi-join on fp (only docs sharing a fingerprint ever meet — the
     same bucket-join shape as MinHash-LSH), ranked by shared count.
+
+    ``min_shared_frac`` filters pairs by the SHARED FRACTION of the
+    smaller doc's fingerprint set (``n_shared ≥ frac·min(|A|,|B|)``, a
+    containment criterion) instead of an absolute count: an absolute
+    ``min_shared`` cut silently drops short near-dups (two identical
+    40-char docs have only ~10 fingerprints TOTAL, so they can never
+    reach ``min_shared=20``) while letting long boilerplate-sharing
+    pairs through; the fraction rule is length-invariant. Costs one
+    extra broadcast-sized join against the per-doc fingerprint counts.
 
     ``max_fp_df`` is the stop-fingerprint cut (the 100 TB guard,
     mirroring ``ngram_jaccard_pairs(max_shingle_df=...)``): a
@@ -236,14 +246,31 @@ def winnow_pairs(
         fps = fps.join(light, "fp")
     a = fps.select(F.col("doc").alias("doc_a"), "fp")
     b = fps.select(F.col("doc").alias("doc_b"), "fp")
-    return (
+    pairs = (
         a.join(b, "fp")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
-        .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
     )
+    if min_shared_frac is not None:
+        nfp = fps.groupBy("doc").agg(F.count("*").alias("__nfp"))
+        pairs = (
+            pairs.join(
+                nfp.select(F.col("doc").alias("doc_a"), F.col("__nfp").alias("__nfp_a")),
+                "doc_a",
+            )
+            .join(
+                nfp.select(F.col("doc").alias("doc_b"), F.col("__nfp").alias("__nfp_b")),
+                "doc_b",
+            )
+            .filter(
+                F.col("n_shared")
+                >= F.lit(min_shared_frac) * F.least("__nfp_a", "__nfp_b")
+            )
+            .select("doc_a", "doc_b", "n_shared")
+        )
+    return pairs.orderBy(F.desc("n_shared"), "doc_a", "doc_b")
 
 
 def trigram_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -226,6 +226,10 @@ class CrawlEngine:
         )
         self._bloom_table: DataFrame | None = None
         self._cuckoo: "cuckoo_mod.CuckooShards | None" = None
+        # last committed iteration the in-memory driver-held filter
+        # (cuckoo/bloom shards) reflects; lets resume keep live state —
+        # including mark_unseen deletes — instead of re-reading shards
+        self._filter_state_k: int | None = None
         self._probabilistic = seen_mode in ("bloom", "cuckoo")
         self._seen_total = 0  # cumulative ledger size in bloom/cuckoo mode
         self.salt_rows = salt_rows
@@ -291,7 +295,13 @@ class CrawlEngine:
                 )
             if self.seen_mode == "cuckoo":
                 shard_dir = os.path.join(self._iter_dir(done[-1]), "cuckoo_shards")
-                if os.path.isdir(shard_dir):
+                if self._cuckoo is not None and self._filter_state_k == done[-1]:
+                    # the in-memory filter already reflects this
+                    # checkpoint PLUS any mark_unseen deletes applied
+                    # since — re-reading the shards would silently undo
+                    # the re-crawl hook
+                    pass
+                elif os.path.isdir(shard_dir):
                     self._cuckoo = cuckoo_mod.CuckooShards.read(shard_dir)
                 else:  # legacy checkpoint: rebuild from the seen ledger
                     self._cuckoo = cuckoo_mod.CuckooShards.sized(
@@ -305,6 +315,7 @@ class CrawlEngine:
                             ]
                         ).astype(np.int64)
                     )
+                self._filter_state_k = done[-1]
             elif self.seen_mode == "bloom":
                 shard_dir = os.path.join(self._iter_dir(done[-1]), "seen_shards")
                 if self.bloom_impl == "table":
@@ -314,6 +325,8 @@ class CrawlEngine:
                         self._bloom_table = seen_mod.build_bloom_delta_shards(
                             self._read_all("seen"), self.n_bloom_shards, *self._bloom_geom
                         )
+                elif self._shards is not None and self._filter_state_k == done[-1]:
+                    pass  # in-memory blobs already reflect this checkpoint
                 elif os.path.isdir(shard_dir):
                     self._shards = seen_mod.BloomShards.read(shard_dir)
                 else:  # legacy checkpoint: rebuild from the seen ledger
@@ -328,6 +341,8 @@ class CrawlEngine:
                             ]
                         ).astype(np.int64)
                     )
+                if self.bloom_impl != "table":
+                    self._filter_state_k = done[-1]
         else:
             if os.path.exists(self.ckpt):
                 shutil.rmtree(self.ckpt)
@@ -336,6 +351,7 @@ class CrawlEngine:
             frontier = self._initial_frontier()
             seen = self.spark.createDataFrame([], seen_mod.SEEN_SCHEMA)
             self._seen_total = 0
+            self._filter_state_k = None
             if self.seen_mode == "cuckoo":
                 self._cuckoo = cuckoo_mod.CuckooShards.sized(
                     self.expected_urls, n_shards=self.n_bloom_shards
@@ -650,6 +666,7 @@ class CrawlEngine:
         if os.path.exists(final):
             shutil.rmtree(final)
         os.rename(tmp, final)  # atomic commit
+        self._filter_state_k = k  # in-memory filter now matches iter=k
 
         # read back committed state (cuts lineage like Iceberg snapshot reads)
         if self.seen_mode == "bloom" and self.bloom_impl == "table":

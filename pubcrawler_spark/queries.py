@@ -1178,3 +1178,351 @@ def q30(spark, sf_dir):
     )
     eng.run(max_iterations=2)
     return eng.full_schedule().select("iteration", "seq", "url_canon", "host").orderBy("iteration", "seq")
+
+
+# ===========================================================================
+# source/sink adapters under the driver gate (S4/S5/S6/S9/K1/K5, A7, F17)
+# — payloads are SYNTHESIZED from the fixture tables with pure
+# expressions, so each adapter's parse/classify/round-trip output has an
+# exact ANSI-SQL oracle that constructs the expected records directly.
+# ===========================================================================
+
+
+@q(
+    "q44_arxiv_atom_records",
+    """
+    SELECT '2401.' || doc_id AS id,
+           'Paper ' || doc_id || ' on ' || source AS title,
+           'A. ' || lang || ', B ' || doc_id AS authors,
+           'We show result ' || doc_id || '.' AS summary,
+           'http://arxiv.org/pdf/2401.' || doc_id AS pdf_url,
+           'http://arxiv.org/abs/2401.' || doc_id AS source_url,
+           'cs.' || lang || '|stat.ML' AS cats,
+           'cs.' || lang AS primary_category
+    FROM documents WHERE doc_id % 97 != 0
+    ORDER BY id
+    """,
+)
+def q44(spark, sf_dir):
+    """S4 arXiv Atom source adapter under a SQL oracle
+    (arxiv_scraper.py:30-49): Atom XML payloads are synthesized from the
+    documents table (with whitespace noise so the field cleaner does
+    real work, and every 97th payload malformed so the ParseError path
+    drops it), parsed batch-wise by the ElementTree pandas UDF, and the
+    extracted records compared against the oracle's direct construction."""
+    from pubcrawler_spark.sources.api import parse_arxiv_atom
+
+    d = _t(spark, sf_dir, "documents")
+    xml = F.format_string(
+        '<feed xmlns="http://www.w3.org/2005/Atom"><entry>'
+        "<id>http://arxiv.org/abs/2401.%d</id>"
+        "<title>Paper   %d\n on %s</title>"
+        "<author><name> A. %s </name></author><author><name>B %d</name></author>"
+        "<summary> We show   result %d. </summary>"
+        '<link title="pdf" href="http://arxiv.org/pdf/2401.%d"/>'
+        '<category term="cs.%s"/><category term="stat.ML"/>'
+        '<arxiv:primary_category xmlns:arxiv="http://arxiv.org/schemas/atom" term="cs.%s"/>'
+        "</entry></feed>",
+        "doc_id", "doc_id", "source", "lang", "doc_id", "doc_id", "doc_id", "lang", "lang",
+    )
+    payloads = d.select(
+        F.when(F.col("doc_id") % 97 == 0, F.lit("<feed>not atom")).otherwise(xml).alias("payload")
+    )
+    out = parse_arxiv_atom(payloads)
+    return out.select(
+        "id", "title", "authors", "summary", "pdf_url", "source_url",
+        F.array_join("categories", "|").alias("cats"),
+        "primary_category",
+    ).orderBy("id")
+
+
+@q(
+    "q45_openreview_ratings",
+    """
+    SELECT 'note' || doc_id AS id,
+           'T ' || doc_id AS title,
+           lang || ', x' AS authors,
+           'A ' || n_chars AS abstract,
+           '/pdf/' || doc_id || '.pdf' AS pdf_url,
+           'Accept' AS decision,
+           CASE WHEN doc_id % 11 = 0 THEN NULL
+                ELSE ROUND(((doc_id % 10) + (doc_id * 3 % 7) + (doc_id * 5 % 9 + 1)) / 3.0, 2)
+           END AS avg_rating
+    FROM documents ORDER BY id
+    """,
+)
+def q45(spark, sf_dir):
+    """S5 OpenReview notes adapter + A7 rating mean under a SQL oracle
+    (iclr_scraper.py:77-105): JSON note payloads synthesized from the
+    documents table (every 11th with an EMPTY ratings list — the
+    mean-of-zero guard), parsed via from_json + pure expressions;
+    avg_rating = round(mean(ratings), 2)."""
+    from pubcrawler_spark.sources.api import parse_openreview_notes
+
+    d = _t(spark, sf_dir, "documents")
+    ratings_json = F.when(F.col("doc_id") % 11 == 0, F.lit("[]")).otherwise(
+        F.format_string(
+            "[%d,%d,%d]",
+            F.col("doc_id") % 10, F.col("doc_id") * 3 % 7, F.col("doc_id") * 5 % 9 + 1,
+        )
+    )
+    payload = F.format_string(
+        '{"id":"note%d","content":{"title":"T %d","abstract":"A %d",'
+        '"authors":["%s","x"],"pdf":"/pdf/%d.pdf"},'
+        '"details":{"ratings":%s,"decision":"Accept"}}',
+        "doc_id", "doc_id", "n_chars", "lang", "doc_id", ratings_json,
+    )
+    out = parse_openreview_notes(d.select(payload.alias("payload")))
+    return out.select(
+        "id", "title", "authors", "abstract", "pdf_url", "decision", "avg_rating"
+    ).orderBy("id")
+
+
+@q(
+    "q46_paginated_rest_scan",
+    """
+    SELECT (i // 10 + 1)::INT AS page,
+           i::BIGINT AS rec_id,
+           'rec' || (i % 10) AS name,
+           ((i % 10) * (i // 10 + 1))::BIGINT AS value
+    FROM range(0, 50) t(i) ORDER BY rec_id
+    """,
+)
+def q46(spark, sf_dir):
+    """S6 paginated REST cursor scan under a SQL oracle
+    (tpami_scraper.py:63-116): a deterministic fetch_page stub serves 5
+    numbered JSON pages of 10 records; the cursor loop walks to
+    totalPages and each page parses JVM-side (from_json + explode). The
+    oracle reconstructs the record stream from range()."""
+    import json as _json
+
+    from pubcrawler_spark.sources.api import paginated_rest_scan
+
+    def fetch_page(p: int) -> tuple[str, int]:
+        recs = [
+            {"rec_id": (p - 1) * 10 + i, "name": f"rec{i}", "value": i * p}
+            for i in range(10)
+        ]
+        return _json.dumps({"records": recs}), 5
+
+    out = paginated_rest_scan(
+        spark, fetch_page, "rec_id bigint, name string, value bigint"
+    )
+    return out.select("page", "rec_id", "name", "value").orderBy("rec_id")
+
+
+@q(
+    "q47_csv_sink_roundtrip",
+    """
+    SELECT doc_id, 'T' || doc_id AS title, lang AS authors,
+           'A' || n_chars AS abstract,
+           'https://x/' || doc_id || '.pdf' AS pdf_url,
+           'kw1;kw2' AS keywords,
+           'https://y/' || doc_id AS source_url,
+           source AS conference, (doc_id % 3 + 2022)::INT AS year
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q47(spark, sf_dir):
+    """K1 CSV sink round-trip under a SQL oracle (formatter.py:88-111):
+    a papers table derived from documents goes through write_papers_csv
+    (preferred column order, (conference, year) partition dirs, header)
+    and is READ BACK from the partitioned CSV layout — the oracle checks
+    the round-trip preserved every value, including the partition
+    columns recovered from directory names."""
+    import os
+    import tempfile
+
+    from pubcrawler_spark import sinks
+
+    d = _t(spark, sf_dir, "documents")
+    papers = d.select(
+        "doc_id",
+        F.concat(F.lit("T"), F.col("doc_id")).alias("title"),
+        F.col("lang").alias("authors"),
+        F.concat(F.lit("A"), F.col("n_chars")).alias("abstract"),
+        F.concat(F.lit("https://x/"), F.col("doc_id"), F.lit(".pdf")).alias("pdf_url"),
+        F.lit("kw1;kw2").alias("keywords"),
+        F.concat(F.lit("https://y/"), F.col("doc_id")).alias("source_url"),
+        F.col("source").alias("conference"),
+        (F.col("doc_id") % 3 + 2022).cast("int").alias("year"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), f"pubcrawler_q47_{_index_cache_key(sf_dir, 'q47')}"
+    )
+    sinks.write_papers_csv(papers, out)
+    schema = (
+        "title string, authors string, abstract string, pdf_url string, "
+        "keywords string, source_url string, doc_id bigint, "
+        "conference string, year int"
+    )
+    back = spark.read.schema(schema).option("header", True).csv(out)
+    return back.select(
+        "doc_id", "title", "authors", "abstract", "pdf_url", "keywords",
+        "source_url", "conference", "year",
+    ).orderBy("doc_id")
+
+
+@q(
+    "q48_catalog_classify",
+    """
+    WITH f AS (
+      SELECT doc_id, source, doc_id % 4 AS kind FROM documents)
+    SELECT '/out/' || doc_id || '/' ||
+             CASE kind WHEN 0 THEN source || '/2024/analysis/4_summary_table.csv'
+                       WHEN 1 THEN source || '/2023/x_data_main.csv'
+                       WHEN 2 THEN source || '/2022/analysis/other_report.csv'
+                       ELSE source || '/trend_lines.csv' END AS path,
+           CASE WHEN kind = 3 THEN 'trends' ELSE 'metadata' END AS dir_type,
+           CASE kind WHEN 0 THEN 'summary_table' WHEN 1 THEN 'raw_data'
+                     WHEN 2 THEN 'analysis_other' ELSE 'trends' END AS csv_type,
+           source AS conference,
+           CASE kind WHEN 0 THEN '2024' WHEN 1 THEN '2023'
+                     WHEN 2 THEN '2022' ELSE 'Cross-Year' END AS year
+    FROM f ORDER BY path
+    """,
+)
+def q48(spark, sf_dir):
+    """S9 file-catalog classification under a SQL oracle
+    (streamlit_app.py:103-127): a synthetic catalog listing covering all
+    four path rules (summary_table / raw_data / analysis_other / trends)
+    is classified by the pure-expression rule engine; the oracle
+    restates the rules directly."""
+    from pubcrawler_spark.sources.catalog import classify_output_files
+
+    d = _t(spark, sf_dir, "documents")
+    kind = F.col("doc_id") % 4
+    rel = (
+        F.when(kind == 0, F.concat(F.col("source"), F.lit("/2024/analysis/4_summary_table.csv")))
+        .when(kind == 1, F.concat(F.col("source"), F.lit("/2023/x_data_main.csv")))
+        .when(kind == 2, F.concat(F.col("source"), F.lit("/2022/analysis/other_report.csv")))
+        .otherwise(F.concat(F.col("source"), F.lit("/trend_lines.csv")))
+    )
+    files = d.select(
+        F.concat(F.lit("/out/"), F.col("doc_id"), F.lit("/"), rel).alias("path"),
+        F.when(kind == 3, F.lit("trends")).otherwise(F.lit("metadata")).alias("dir_type"),
+        rel.alias("rel_path"),
+    )
+    return classify_output_files(files)
+
+
+@q(
+    "q49_vector_sink_roundtrip",
+    """
+    WITH n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id, len(v)::INT AS dim,
+           ROUND(sqrt(list_dot_product(v, v)), 6) AS norm, label
+    FROM n ORDER BY vec_id
+    """,
+)
+def q49(spark, sf_dir):
+    """K5 vector-store sink round-trip under a SQL oracle
+    (embedder_chroma.py:111-125): embeddings go through write_embeddings
+    (id-hash repartitioned parquet) and are read back; every vector is
+    pinned by (dim, L2 norm) against the oracle computed on the SOURCE
+    table — a lossy round-trip would shift the norms."""
+    import os
+    import tempfile
+
+    from pubcrawler_spark import sinks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = os.path.join(
+        tempfile.gettempdir(), f"pubcrawler_q49_{_index_cache_key(sf_dir, 'q49')}"
+    )
+    sinks.write_embeddings(emb, out, n_buckets=8)
+    back = spark.read.parquet(out)
+    v = F.col("embedding").cast("array<double>")
+    return back.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)), 6).alias("norm"),
+        "label",
+    ).orderBy("vec_id")
+
+
+@q(
+    "q50_fieldscoped_search",
+    r"""
+    SELECT doc_id, lang,
+           ((CASE WHEN regexp_matches(source, '(?i)\bsrc1\b') THEN 1 ELSE 0 END)
+          + (CASE WHEN regexp_matches(text, '(?i)\bvector\b') THEN 1 ELSE 0 END)
+          + (CASE WHEN regexp_matches(source, '(?i)\bvector\b') THEN 1 ELSE 0 END)) AS score
+    FROM documents
+    WHERE regexp_matches(source, '(?i)\bsrc1\b')
+      AND (regexp_matches(text, '(?i)\bvector\b') OR regexp_matches(source, '(?i)\bvector\b'))
+    ORDER BY score DESC, doc_id
+    """,
+)
+def q50(spark, sf_dir):
+    """F17/V4 field-scoped query compiler under a SQL oracle
+    (search_service.py:125-151): the query 'source:src1 "vector"'
+    exercises field scoping (src1 must word-match the source column
+    only — src10 must NOT match), quoted-phrase parsing, AND-combine,
+    and the (part, column) hit score."""
+    d = _t(spark, sf_dir, "documents")
+    out = search.keyword_search(d, 'source:src1 "vector"', ["text", "source"], "doc_id")
+    return out.select(
+        "doc_id", "lang", F.col("score").cast("int").alias("score")
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# sketch families under the EXACT oracle via candidate re-verification
+# ---------------------------------------------------------------------------
+
+
+def _jaccard_sql(k: int, threshold: float) -> str:
+    """Exact char-k-gram Jaccard pairs in DuckDB SQL — the oracle for
+    both the exact operator (q15) and the verified sketch twins
+    (q51/q52), whose outputs must EQUAL the exact result when the
+    sketch's candidate recall is 1 (seeded sketches, deterministic —
+    pinned by tests/test_dedup_search.py)."""
+    return f"""
+    WITH d AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, length(t) - {k - 2}), i -> substr(t, i, {k})))) AS shingle
+           FROM d WHERE length(t) >= {k}),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT doc_a, doc_b, ROUND(n_inter * 1.0 / (x.sz + y.sz - n_inter), 6) AS jaccard
+    FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+    WHERE n_inter * 1.0 / (x.sz + y.sz - n_inter) >= {threshold}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@q("q51_minhash_verified_pairs", _jaccard_sql(5, 0.35))
+def q51(spark, sf_dir):
+    """MinHash-LSH candidates re-verified by EXACT shingle Jaccard —
+    the full two-stage dedup plan (sketch bucket-join prunes the pair
+    space; the exact metric decides) under the exact-Jaccard SQL
+    oracle. The sketch only changes WHICH pairs get verified, never the
+    verdict, so the output EQUALS the all-pairs result exactly when LSH
+    candidate recall at τ is 1 — true on this corpus at the gate scale
+    (verified deterministically; seeded sketch, fixed data). Honest
+    scale note: recall at pairs sitting ON the threshold follows the
+    band S-curve (≈1−(1−s⁴)¹⁶), so a 10× corpus showed 2/258 borderline
+    misses (j ≤ 0.375) — the standard web-dedup trade; raise bands or
+    the threshold margin when exact parity at τ matters."""
+    d = _t(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", k=5, n_perm=64, bands=16, verify_threshold=None
+    )
+    return dedup.verify_pairs_exact(cand, d, "doc_id", "text", k=5, threshold=0.35)
+
+
+@q("q52_winnow_verified_pairs", _jaccard_sql(8, 0.35))
+def q52(spark, sf_dir):
+    """Winnowing-fingerprint candidates re-verified by EXACT 8-gram
+    Jaccard under the exact-Jaccard SQL oracle (same two-stage shape as
+    q51). Candidates use the length-invariant containment rule
+    (min_shared_frac=0.2: shared fps ≥ 20% of the smaller doc's set) —
+    an absolute min_shared cut silently drops SHORT identical docs
+    (few total fingerprints), the failure mode that showed up at 10×
+    scale with min_shared=20."""
+    d = _t(spark, sf_dir, "documents")
+    cand = textstats.winnow_pairs(
+        d, "doc_id", "text", k=8, window=4, min_shared=2, min_shared_frac=0.2
+    )
+    return dedup.verify_pairs_exact(cand, d, "doc_id", "text", k=8, threshold=0.35)

@@ -322,3 +322,55 @@ def test_streaming_ingest_and_rates(spark, tmp_path):
     got = {r["host"]: r["total"] for r in out.collect()}
     for r in want.collect():
         assert got.get(r["host"]) == r["count"], (r["host"], got.get(r["host"]), r["count"])
+
+
+def test_verify_pairs_exact_equals_allpairs(spark, docs):
+    """The two-stage verified plan (sketch candidates → exact-Jaccard
+    verify, the q51/q52 shape) must EQUAL the exact all-pairs operator
+    whenever the candidate set's recall at the threshold is 1 — that
+    equality is what lets a DuckDB oracle value-check a murmur3-sketch
+    family. The planted corpus is a 14-word-vocab worst case whose
+    random docs generate a soup of borderline ~0.36-Jaccard pairs LSH
+    cannot reliably catch (catch prob ≈ 1−(1−s⁴)¹⁶ ≈ 0.2 at s=0.36),
+    so the equality is pinned at τ=0.6 here — above the soup, where
+    recall is 1 by the same formula (≈1−1e-5 at the planted pairs'
+    s≈0.85). The sf-fixture recall at the q51/q52 production τ=0.35 is
+    what the driver's DuckDB oracle itself pins every round."""
+    df, _rows = docs
+    exact5 = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=5, threshold=0.6).collect()
+    }
+    assert exact5  # planted near-dups must surface
+    mh_cand = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", k=5, n_perm=64, bands=16, verify_threshold=None
+    )
+    got5 = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.verify_pairs_exact(mh_cand, df, "doc_id", "text", k=5, threshold=0.6).collect()
+    }
+    assert got5 == exact5
+
+    from pubcrawler_spark.operators import textstats
+
+    exact8 = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=8, threshold=0.6).collect()
+    }
+    assert exact8
+    wn_cand = textstats.winnow_pairs(
+        df, "doc_id", "text", k=8, window=4, min_shared=2, min_shared_frac=0.2
+    )
+    got8 = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.verify_pairs_exact(wn_cand, df, "doc_id", "text", k=8, threshold=0.6).collect()
+    }
+    assert got8 == exact8
+
+    # empty/short docs degrade to empty shingle sets, not errors
+    edge = spark.createDataFrame([(0, ""), (1, None), (2, "abc"), (3, "abc")],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1), (2, 3)], "doc_a long, doc_b long")
+    out = {(r.doc_a, r.doc_b, r.jaccard)
+           for r in dedup.verify_pairs_exact(pairs, edge, "doc_id", "text", k=3, threshold=0.5).collect()}
+    assert out == {(2, 3, 1.0)}
