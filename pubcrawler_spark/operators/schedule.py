@@ -232,22 +232,14 @@ def host_budgets_from_robots(
     )
 
 
-def pick_schedule(
+def _picked_rows(
     allowed: DataFrame,
     host_budget: int,
-    iteration: int,
-    salt_rows: int = 50_000,
-    host_budgets: DataFrame | None = None,
-    size_hint: int | None = None,
-    serial_limit: int = 2_000_000,
+    salt_rows: int,
+    host_budgets: DataFrame | None,
 ) -> DataFrame:
-    """Per-host top-k (k = ``host_budget``, reduced per host by
-    ``host_budgets.max_per_iter`` where present) then a deterministic
-    global sequence.
-
-    Returns fetch_schedule(iteration, seq, url, url_canon, url_hash,
-    host, priority, depth, disc_seq).
-    """
+    """Per-host top-k core shared by :func:`pick_schedule` and
+    :func:`schedule_ranks`: salted pass-1 bound + exact pass-2 budget."""
     # per-iteration host frequency → salt factor S (skew-aware)
     host_counts = allowed.groupBy("host").agg(F.count("*").alias("__hc"))
     salted = (
@@ -272,11 +264,30 @@ def pick_schedule(
     else:
         budget_col = F.lit(host_budget)
     w2 = Window.partitionBy("host").orderBy(*ORDER_COLS())
-    picked = (
+    return (
         pass1.withColumn("__rn2", F.row_number().over(w2))
         .filter(F.col("__rn2") <= budget_col)
         .drop("__rn1", "__rn2", "__hc", "__S", "host_salt", "max_per_iter")
     )
+
+
+def pick_schedule(
+    allowed: DataFrame,
+    host_budget: int,
+    iteration: int,
+    salt_rows: int = 50_000,
+    host_budgets: DataFrame | None = None,
+    size_hint: int | None = None,
+    serial_limit: int = 2_000_000,
+) -> DataFrame:
+    """Per-host top-k (k = ``host_budget``, reduced per host by
+    ``host_budgets.max_per_iter`` where present) then a deterministic
+    global sequence.
+
+    Returns fetch_schedule(iteration, seq, url, url_canon, url_hash,
+    host, priority, depth, disc_seq).
+    """
+    picked = _picked_rows(allowed, host_budget, salt_rows, host_budgets)
     # global deterministic sequence — WITHOUT a single-partition window
     # (Window.orderBy() with no partitionBy funnels the whole schedule
     # through one task, and every downstream stage — fetch join, parse —
@@ -291,6 +302,40 @@ def pick_schedule(
         size_hint=size_hint,
         serial_limit=serial_limit,
     ).withColumn("iteration", F.lit(iteration))
+
+
+def schedule_ranks(
+    allowed: DataFrame,
+    host_budget: int,
+    salt_rows: int = 50_000,
+    host_budgets: DataFrame | None = None,
+    size_hint: int | None = None,
+    serial_limit: int = 2_000_000,
+    out_col: str = "sched_seq",
+) -> DataFrame:
+    """SLIM schedule: (url_canon, ``out_col``) for exactly the rows
+    :func:`pick_schedule` would pick, with the identical global rank.
+
+    This is the fused-iteration form: the engine LEFT-joins these ranks
+    onto the full candidate table inside the candidates write, so the
+    fetch schedule and the budget-deferred leftovers both become pure
+    column-pruned projections of ONE materialized table — no separate
+    schedule job, no leftover anti-join. The slim side is a few bytes
+    per scheduled URL, so the join-back broadcasts at fetch-schedule
+    sizes and shuffles cleanly past them.
+    """
+    picked = _picked_rows(allowed, host_budget, salt_rows, host_budgets).withColumnRenamed(
+        "seq", "disc_seq"
+    )
+    return global_ranks(
+        picked,
+        order_col_names=["priority", "depth", "disc_seq", "url_hash"],
+        descending={"priority"},
+        key_col="url_canon",
+        out_col=out_col,
+        size_hint=size_hint,
+        serial_limit=serial_limit,
+    )
 
 
 def global_sequence(
@@ -328,22 +373,40 @@ def global_sequence(
         raise ValueError(
             f"global_sequence: output column {out_col!r} already exists — rename it first"
         )
+    return df.join(
+        global_ranks(df, order_col_names, descending, key_col, out_col, size_hint, serial_limit),
+        key_col,
+    )
+
+
+def global_ranks(
+    df: DataFrame,
+    order_col_names: list[str],
+    descending: set[str],
+    key_col: str,
+    out_col: str = "seq",
+    size_hint: int | None = None,
+    serial_limit: int = 2_000_000,
+) -> DataFrame:
+    """The slim ``(key_col, out_col)`` rank mapping behind
+    :func:`global_sequence` — callers that join the ranks onto a wider
+    table themselves (the engine's fused candidates write) use this
+    directly."""
     order = [
         F.col(c).desc() if c in descending else F.col(c).asc()
         for c in order_col_names
     ]
     if size_hint is not None and size_hint > serial_limit:
-        return _global_sequence_ranged(df, order_col_names, order, key_col, out_col)
+        return _global_ranks_ranged(df, order_col_names, order, key_col, out_col)
     w = Window.orderBy(*order)
-    ranked = (
+    return (
         df.select(key_col, *order_col_names)
         .withColumn(out_col, F.row_number().over(w).cast("long") - 1)
         .select(key_col, out_col)
     )
-    return df.join(ranked, key_col)
 
 
-def _global_sequence_ranged(
+def _global_ranks_ranged(
     df: DataFrame, order_col_names: list[str], order: list, key_col: str, out_col: str
 ) -> DataFrame:
     """Two-phase distributed rank with the intermediate PINNED:
@@ -358,7 +421,7 @@ def _global_sequence_ranged(
        both consumers see one consistent assignment.
     2. per-pid counts → cumulative offsets (a window over the tiny
        P-row table), local row_number per pid, rank = offset + rn − 1.
-    3. join ranks back by ``key_col``.
+    3. return the slim ``(key_col, rank)`` mapping — the caller joins.
 
     Cross-run determinism: sampled range boundaries may differ between
     runs, but the (key → rank) mapping cannot — a row's rank is its
@@ -378,7 +441,7 @@ def _global_sequence_ranged(
         "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).cast("long")
     )
     w_local = Window.partitionBy("__pid").orderBy(*order)
-    ranks = (
+    return (
         pinned.withColumn("__rn", F.row_number().over(w_local))
         .join(F.broadcast(offsets.select("__pid", "__off")), "__pid")
         .select(
@@ -386,4 +449,3 @@ def _global_sequence_ranged(
             (F.col("__off") + F.col("__rn") - 1).cast("long").alias(out_col),
         )
     )
-    return df.join(ranks, key_col)

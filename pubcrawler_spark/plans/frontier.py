@@ -7,8 +7,8 @@ Each iteration is a pure function of the previous checkpoint:
       → canonicalize+hash (Arrow UDF)         [urltools]
       → dedup per url_canon                   [schedule.dedup_candidates]
       → anti-join seen set (exact or bloom)   [seen]
-      → robots split                          [schedule.split_robots]
-      → salted per-host top-k + global seq    [schedule.pick_schedule]
+      → robots tag                            [schedule.tag_robots]
+      → salted per-host top-k + global seq    [schedule.schedule_ranks]
       → join pages on url_canon (J5)          [simulated fetch]
       → parse UDF (V3) → parsed rows + out-links → frontier@K
       → seen@K = seen@K-1 ∪ scheduled ∪ robots-disallowed
@@ -29,12 +29,17 @@ Throughput engineering (north-star metric is URLs/sec):
   ``count()`` actions; row counts come free from the parquet footers of
   the files just written (``_count_parquet``).
 - Candidates are written first and read back, so every downstream
-  consumer (schedule, leftover anti-join, seen update) reuses the
+  consumer (schedule ranks, leftovers, seen update) reuses the
   materialized rows instead of re-running the canonicalize UDF and the
-  seen probe; the SCHEDULE is pinned with an eager ``localCheckpoint``
-  because it is consumed twice (fetch keys + join-back) and its rank
-  join doubles again — unpinned, the salted windows re-executed up to
-  4× inside the parsed_links job.
+  seen probe. The schedule itself is materialized SLIM — a
+  (url_canon, sched_seq) state table a few bytes per scheduled URL —
+  instead of pinning the full schedule rows with an eager
+  ``localCheckpoint`` (the r3 design): the write is ~50× smaller, the
+  slim table broadcast-gates every consumption (fetch keys, the column
+  join-back, the leftover anti-join — all broadcast probes under
+  ``fetch_broadcast_limit``, distributed joins past it), and it is
+  committed checkpoint state, so resume can re-derive what iteration K
+  scheduled without recomputing windows.
 - The fetch join broadcasts the (budget-bounded) schedule keys against
   the cached pages corpus — the corpus never shuffles.
 - Small seen deltas (bounded by footer counts) are assembled
@@ -64,7 +69,7 @@ from pubcrawler_spark.operators import schedule as sched
 from pubcrawler_spark.operators import seen as seen_mod
 from pubcrawler_spark.operators.parse import parse_pages
 
-STATE_TABLES = ("candidates", "parsed_links", "frontier", "seen", "metrics")
+STATE_TABLES = ("candidates", "sched", "parsed_links", "frontier", "seen", "metrics")
 
 
 def _parquet_files(path: str) -> list[str]:
@@ -125,7 +130,10 @@ def _col_sum_false(path: str, col: str) -> int:
     total = 0
     for f in _parquet_files(path):
         t = pq.read_table(f, columns=[col])
-        total += t.num_rows - t.column(col).combine_chunks().sum().as_py()
+        # sum() of an EMPTY column is null — empty part files are normal
+        # without AQE's runtime partition coalescing
+        n_true = t.column(col).combine_chunks().sum().as_py() or 0
+        total += t.num_rows - n_true
     return int(total)
 
 
@@ -283,6 +291,24 @@ class CrawlEngine:
         return with_canonical_url(df).select(*_frontier_cols())
 
     def run(self, max_iterations: int, resume: bool = False) -> dict:
+        """Run the loop. While iterating, AQE is turned OFF (and
+        restored on exit): the loop's plans are static — shuffle
+        partition counts are preset, the one known skew (hot hosts) is
+        handled explicitly by window salting, and every join strategy is
+        size-gated from parquet footers — so adaptive re-planning buys
+        nothing while its per-stage materialize-and-replan barrier costs
+        ~10% of steady-iteration wall at bench sizes (measured at both
+        local[2] and local[8]). Analytics queries on the same session
+        keep AQE (skew-join splitting matters there)."""
+        conf = self.spark.conf
+        aqe_before = conf.get("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return self._run_loop(max_iterations, resume)
+        finally:
+            conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+    def _run_loop(self, max_iterations: int, resume: bool) -> dict:
         done = self.committed_iterations()
         if resume and done:
             start = done[-1] + 1
@@ -414,47 +440,67 @@ class CrawlEngine:
             unseen = seen_mod.filter_unseen_exact(cand, seen)
 
         # JOB 1: deduped+unseen candidates tagged with robots_ok —
-        # materialized ONCE; schedule input, leftover anti-join, robots
+        # materialized ONCE; the schedule ranks, leftovers, robots
         # metrics and the seen update are all projections of this table.
         cand_path = _write(
             sched.tag_robots(unseen, self.robots_rules, advanced=self._robots_advanced),
             "candidates",
         )
         cand_rb = _rb("candidates")
+        t0 = time.monotonic()
         n_cand = _count_parquet(cand_path)
         n_disallowed = _col_sum_false(cand_path, "robots_ok")
+        job_ms["cand_counters"] = int((time.monotonic() - t0) * 1000)
         allowed_rb = cand_rb.filter(F.col("robots_ok")).drop("robots_ok")
 
-        # JOB 2: schedule → fetch join → parse, all in one pass.
-        # Fetch-join strategy, size-gated on the candidate count (a
-        # known-from-footers upper bound on the schedule size): under
-        # fetch_broadcast_limit, broadcast ONLY the schedule's url_canon
-        # keys as a semi-join filter into the cached corpus (keys are a
-        # few bytes/URL — a full-schedule broadcast builds a large hash
-        # relation serially on the driver); past the limit the keys
-        # exceed broadcast, so it becomes a distributed shuffle semi-join
-        # (at Iceberg scale both sides are bucketed by url_canon, so
-        # this is a storage-partitioned join with no pages shuffle).
-        # Either way the schedule columns are re-attached with a
-        # distributed join and the written table carries them —
-        # `schedule` and `parsed` are projections.
-        schedule = sched.pick_schedule(
-            allowed_rb, self.host_budget, k,
+        # JOB 2: SLIM schedule ranks (url_canon, sched_seq) — the salted
+        # windows read the materialized candidates from disk and write a
+        # few bytes per scheduled URL. Compared to pinning the full
+        # schedule with an eager localCheckpoint (the r3 design), the
+        # materialized slim table (a) costs a ~50× smaller write, (b)
+        # broadcast-gates every downstream consumption (fetch keys,
+        # column join-back, leftover anti-join), and (c) is committed
+        # checkpoint state, so a resumed run can re-derive exactly what
+        # iteration K scheduled without recomputing windows.
+        ranks = sched.schedule_ranks(
+            allowed_rb, self.host_budget,
             salt_rows=self.salt_rows, host_budgets=self.host_budgets,
             size_hint=n_cand,  # footer count: upper bound on schedule rows
             serial_limit=self.seq_serial_limit,
         )
-        # PIN the schedule (eager localCheckpoint): it is consumed twice
-        # below (fetch keys + the join-back) and its window stack itself
-        # references the picked rows twice (rank join) — unpinned, the
-        # salted windows re-execute up to 4× inside the parsed_links
-        # job (measured ~40% of the steady-iteration cost at sf0.1).
-        # Content is deterministic either way (ranged≡serial test), so
-        # pinning only collapses duplicate work; on a cluster a lost
-        # executor re-runs the iteration from the committed checkpoint.
-        schedule = schedule.localCheckpoint(eager=True)
-        fetch_keys = schedule.select("url_canon")
-        if n_cand <= self.fetch_broadcast_limit:
+        sched_path = _write(ranks, "sched")
+        t0 = time.monotonic()
+        n_sched = _count_parquet(sched_path)
+        job_ms["sched_counter"] = int((time.monotonic() - t0) * 1000)
+        if n_sched == 0:
+            shutil.rmtree(tmp)
+            return None
+        sched_rb = _rb("sched")
+        small_sched = n_sched <= self.fetch_broadcast_limit
+        ranks_join = F.broadcast(sched_rb) if small_sched else sched_rb
+        schedule = cand_rb.join(ranks_join, "url_canon").select(
+            F.lit(k).alias("iteration"),
+            F.col("sched_seq").alias("seq"),
+            "url", "url_canon", "url_hash", "host", "priority", "depth",
+            F.col("seq").alias("disc_seq"),
+            "attempts",
+        )
+
+        # JOB 3: fetch join → parse, one pass. Fetch-join strategy,
+        # size-gated on the EXACT schedule size (known from the slim
+        # table's footers): under fetch_broadcast_limit, broadcast ONLY
+        # the schedule's url_canon keys as a semi-join filter into the
+        # cached corpus (keys are a few bytes/URL — a full-schedule
+        # broadcast builds a large hash relation serially on the
+        # driver); past the limit the keys exceed broadcast, so it
+        # becomes a distributed shuffle semi-join (at Iceberg scale both
+        # sides are bucketed by url_canon, so this is a
+        # storage-partitioned join with no pages shuffle). Either way
+        # the schedule columns are re-attached with a distributed join
+        # and the written table carries them — `schedule` and `parsed`
+        # are projections.
+        fetch_keys = sched_rb.select("url_canon")
+        if small_sched:
             fetch_keys = F.broadcast(fetch_keys)
         hit_pages = self.pages.select("url_canon", "html").join(
             fetch_keys, "url_canon", "left_semi"
@@ -478,12 +524,10 @@ class CrawlEngine:
             F.col("parsed.links").alias("links"),
         )
         pl_path = _write(pl_projected, "parsed_links")
-        n_sched = _count_parquet(pl_path)
-        if n_sched == 0:
-            shutil.rmtree(tmp)
-            return None
+        t0 = time.monotonic()
         pl_rb = _rb("parsed_links")
         n_parsed = n_sched - _col_null_count(pl_path, "id")
+        job_ms["pl_counters"] = int((time.monotonic() - t0) * 1000)
 
         # JOB 3: next frontier = budget-deferred leftovers ∪ new links
         # ∪ fetch-miss retries (X3: decayed priority, bounded attempts).
@@ -504,8 +548,14 @@ class CrawlEngine:
                 F.lit(0).alias("attempts"),
             )
         ).select(*_frontier_cols())
+        # leftovers = allowed candidates not scheduled this iteration;
+        # the slim ranks broadcast, so this anti-join is a broadcast
+        # probe of the candidates scan, not a shuffle (the r3 engine
+        # shuffle-anti-joined against the full parsed_links table here)
         leftover = allowed_rb.join(
-            pl_rb.select("url_canon"), "url_canon", "left_anti"
+            F.broadcast(sched_rb.select("url_canon")) if small_sched
+            else sched_rb.select("url_canon"),
+            "url_canon", "left_anti",
         ).select(*_frontier_cols())
         retries = (
             pl_rb.filter(~F.col("fetched") & (F.col("attempts") < self.max_retries))
@@ -573,7 +623,9 @@ class CrawlEngine:
                 seen_path = _write(
                     delta_seen.unionByName(seen).dropDuplicates(["url_hash"]), "seen"
                 )
+        t0 = time.monotonic()
         n_fetch_miss = _col_sum_false(pl_path, "fetched")
+        job_ms["miss_counter"] = int((time.monotonic() - t0) * 1000)
         if self.seen_mode == "cuckoo":
             # cuckoo shards: driver-held tables, delete-capable (the
             # re-crawl path bloom cannot express); delta from the ledger
@@ -615,6 +667,7 @@ class CrawlEngine:
                 )
                 self._shards.write(os.path.join(tmp, "seen_shards"))
 
+        t_commit = time.monotonic()
         counts = {
             "iteration": k,
             "input_rows": n_cand,
@@ -648,6 +701,7 @@ class CrawlEngine:
                 os.path.join(tmp, "metrics"), k, n_sched, n_parsed, n_disallowed
             )
 
+        job_ms["commit_tail"] = int((time.monotonic() - t_commit) * 1000)
         counts["job_ms"] = job_ms
         manifest = {
             "iteration": k,
