@@ -315,6 +315,27 @@ def run_stage_throughput(cpus: int, n_pages: int, replicas: int) -> dict:
     return {"cpus": cpus, "wall_sec": round(wall, 2), "urls": n, "urls_per_sec": round(n / wall, 1)}
 
 
+QUIET_LOAD_THRESHOLD = 2.5  # 1-min loadavg below which the box counts as quiet
+QUIET_WAIT_MAX_S = 600
+
+
+def _wait_quiet(max_wait_s: int = QUIET_WAIT_MAX_S) -> float:
+    """Block until the box is quiet (1-min loadavg below threshold) or
+    the wait budget runs out; returns the loadavg the run started at.
+    Concurrent Spark sessions poison the taskset-pinned legs (±40%
+    cross-regen variance documented in r3), so every measurement run
+    waits for a verified-quiet window and RECORDS the load it saw —
+    a regen whose runs all started quiet is evidence; one that timed
+    out waiting is labeled contended in the regen ledger."""
+    waited = 0
+    load = os.getloadavg()[0]
+    while load >= QUIET_LOAD_THRESHOLD and waited < max_wait_s:
+        time.sleep(15)
+        waited += 15
+        load = os.getloadavg()[0]
+    return round(load, 2)
+
+
 def run_scaling(n_pages: int, budget: int = BENCH_BUDGET, replicas: int = 3) -> None:
     """North-rule evidence: same job, same input, two cluster sizes —
     N=local[2] vs 4N=local[8] (both levels leave headroom for the
@@ -334,15 +355,22 @@ def run_scaling(n_pages: int, budget: int = BENCH_BUDGET, replicas: int = 3) -> 
        transparency: its iterations are fixed-cost dominated (the
        ~2-3 s/iteration Spark job+stage latency floor vs ~1 s of
        scalable work — no architecture scales that).
+
+    Every run starts in a verified-quiet window (see :func:`_wait_quiet`)
+    and the regen's efficiencies append to ``BENCH/regens.jsonl`` — the
+    §7 cross-regen table in BASELINE.md is generated from that ledger,
+    never from hardcoded narrative numbers.
     """
     _bench_fixture_dir(n_pages)
     _bench_fixture_dir(n_pages, filler_kb=16.0)
+    loads_seen: list[float] = []
 
     def run(mode_flag: str, cpus: int, extra: list[str]) -> dict:
         # taskset pins the WHOLE process tree (JVM + GC + shuffle + Arrow
         # python workers) to exactly `cpus` physical cores — local[N]
         # alone only caps task slots while ancillary threads spill onto
         # the other 32 cores, systematically flattering the small-N leg
+        loads_seen.append(_wait_quiet())
         out = subprocess.run(
             ["taskset", "-c", f"0-{cpus - 1}",
              sys.executable, os.path.abspath(__file__), mode_flag, "--cpus", str(cpus),
@@ -354,7 +382,7 @@ def run_scaling(n_pages: int, budget: int = BENCH_BUDGET, replicas: int = 3) -> 
     # median of N per level: single-run variance on a shared VM is ±15%
     # with bursty outliers (observed 14.1k/17.3k/25.7k URLs/s in three
     # consecutive 8-core stage runs — CPU steal hits the wide leg
-    # hardest), so the stage leg takes median-of-5
+    # hardest), so the headline stage leg takes median-of-7
     def median_of(n, mode_flag, cpus, extra):
         runs = sorted((run(mode_flag, cpus, extra) for _ in range(n)),
                       key=lambda r: r["urls_per_sec"])
@@ -363,7 +391,8 @@ def run_scaling(n_pages: int, budget: int = BENCH_BUDGET, replicas: int = 3) -> 
     def median3(mode_flag, cpus, extra):
         return median_of(3, mode_flag, cpus, extra)
 
-    stage = {c: median_of(5, "--stage", c, ["--replicas", "4"]) for c in (2, 8, 32)}
+    stage = {c: median_of(7 if c in (2, 8) else 3, "--stage", c, ["--replicas", "4"])
+             for c in (2, 8, 32)}
     # mega iteration sized so per-iteration work dominates the fixed
     # cost (~1.5M scheduled+parsed URLs — still 10x below the 10^7-10^8
     # URLs/iteration the north rule targets, where amortization is
@@ -401,9 +430,44 @@ def run_scaling(n_pages: int, budget: int = BENCH_BUDGET, replicas: int = 3) -> 
         "loop_fixture": {c: loop_fixture[c]["urls_per_sec"] for c in loop_fixture}
         | {"efficiency": loop_fixture_eff},
         "n_pages": n_pages,
+        "max_start_load": max(loads_seen) if loads_seen else None,
     }
     print(json.dumps(summary))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+
+    # append this regen to the ledger; §7 of BASELINE.md is generated
+    # from it (measured numbers only — never hardcoded narrative)
+    regen_rec = {
+        "ts": int(time.time()),
+        "quiet": bool(loads_seen) and max(loads_seen) < QUIET_LOAD_THRESHOLD,
+        "max_start_load": summary["max_start_load"],
+        "stage": stage_eff,
+        "mega": mega_eff,
+        "loop": loop_eff,
+        "loop_fixture": loop_fixture_eff,
+        "stage_ups": {c: stage[c]["urls_per_sec"] for c in (2, 8)},
+    }
+    ledger_path = os.path.join(REPO, "BENCH", "regens.jsonl")
+    with open(ledger_path, "a") as fh:
+        fh.write(json.dumps(regen_rec) + "\n")
+    with open(ledger_path) as fh:
+        regens = [json.loads(l) for l in fh if l.strip()]
+
+    def _median(vals):
+        s = sorted(vals)
+        return s[len(s) // 2]
+
+    regen_rows = "\n".join(
+        f"| {i + 1} | {r['stage']} | {r['mega']} | {r['loop']} | {r['loop_fixture']} "
+        f"| {'quiet' if r.get('quiet') else 'contended'} (load ≤ {r.get('max_start_load')}) |"
+        for i, r in enumerate(regens)
+    )
+    regen_medians = (
+        f"| median | {_median([r['stage'] for r in regens])} "
+        f"| {_median([r['mega'] for r in regens])} "
+        f"| {_median([r['loop'] for r in regens])} "
+        f"| {_median([r['loop_fixture'] for r in regens])} | n={len(regens)} |"
+    )
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(f"""# BENCH/BASELINE.md — scaling evidence (north rule)
 
@@ -480,11 +544,10 @@ Efficiency N→4N = {loop_fixture_eff} (single run per level).
 
 The per-iteration fixed cost (snapshot commit, stage scheduling,
 broadcast builds, read-backs) is constant per iteration, so efficiency
-rises with iteration size. Measured sweep (same protocol, single runs
-at 16g heap via `SPARK_DRIVER_MEM=16g taskset -c 0-{{N-1}} python
-bench.py --mega --cpus {{N}} --pages 300000 --replicas {{r}}`; r2-round
-measurements, engine since improved — the r=6 row is superseded by the
-median-of-3 in §2 above):
+rises with iteration size. HISTORICAL sweep — measured in the r2
+round with that round's engine; NOT re-measured by this regen (kept
+because the amortization SHAPE is the point; §2 above is the current
+measurement at r=6):
 
 | URLs/iteration | local[2] URLs/s | local[8] URLs/s | efficiency |
 |---|---|---|---|
@@ -494,21 +557,22 @@ median-of-3 in §2 above):
 | 2.23M (r=9, 16g) | 10,039 | 38,005 | (0.95)* |
 | 2.23M (r=9, 24g) | 13,142 | 31,169 | (0.59)* |
 
-*The r=9 points (r3 round) are HEAP-BOUNDARY CONFOUNDED both ways and
-excluded from the trend: at 16g the 2.7M-page corpus spills the cache
-and throttles the N leg (ratio inflated to a meaningless 0.95); at
-24g the oversized-heap GC pathology (§6) throttles the 4N leg. The
-box cleanly measures up to ~1.5M-URL iterations — beyond that the
-binding constant is single-box corpus-cache capacity, not engine
-scaling. Both legs amortize toward their work-bound rate through
-r=6; the 4N leg is still climbing at 1.49M while the N leg has
-plateaued (~16-17k, work-bound). The north-rule regime is 10^7–10^8
-URLs/iteration — 10–100× beyond what this box can hold — where the
-fixed share drops under 4% and the iteration efficiency converges to
-the data-proportional stage's efficiency (measurement 1), which is the
-component that actually bounds a 10^10-URL crawl.
+*The r=9 points (r3 round, historical) are HEAP-BOUNDARY CONFOUNDED
+both ways and excluded from the trend: at 16g the 2.7M-page corpus
+spills the cache and throttles the N leg (ratio inflated to a
+meaningless 0.95); at 24g the oversized-heap GC pathology (§6)
+throttles the 4N leg. The box cleanly measures up to ~1.5M-URL
+iterations — beyond that the binding constant is single-box
+corpus-cache capacity, not engine scaling. Both legs amortize toward
+their work-bound rate through r=6; the 4N leg was still climbing at
+1.49M while the N leg had plateaued (work-bound). The north-rule
+regime is 10^7–10^8 URLs/iteration — 10–100× beyond what this box can
+hold — where the fixed share drops under 4% and the iteration
+efficiency converges to the data-proportional stage's efficiency
+(measurement 1), which is the component that actually bounds a
+10^10-URL crawl.
 
-## 6. JVM heap sizing note (measurement validity)
+## 6. JVM heap sizing note (measurement validity; measured r2, historical)
 
 An oversized driver heap silently destroys the 16 KB-page stage:
 48g → 4,465 URLs/s vs 8g → 27,424 URLs/s at local[8] (G1 keeps
@@ -517,24 +581,26 @@ hot ones). bench.py right-sizes per mode (8g default, 16g for --mega).
 
 ## 7. Cross-regen variance (measurement honesty)
 
-This is a shared VM: three consecutive single 8-core stage runs on an
-otherwise-idle box measured 14.1k / 17.3k / 25.7k URLs/s (±40%), so
-per-leg medians (5 for stage, 3 elsewhere) are load-bearing. Three
-full regens of IDENTICAL r3 code within one evening:
+This is a shared VM, so per-leg medians (7 for stage, 3 elsewhere) and
+quiet-window discipline are load-bearing: every run blocks until the
+1-min loadavg drops below {QUIET_LOAD_THRESHOLD} (or a {QUIET_WAIT_MAX_S}s
+wait budget expires — such runs are labeled contended). Every regen of
+THIS engine version appends its efficiencies to `BENCH/regens.jsonl`;
+the table below is generated from that ledger (this document always
+shows every recorded regen, current regen last):
 
-| leg | regen 1 | regen 2 | regen 3 | median | r2 round (quieter window) |
+| regen | stage | mega | loop | loop_fixture | window |
 |---|---|---|---|---|---|
-| stage | 0.659 | 0.778 | 0.736 | 0.736 | 0.863 |
-| mega iteration | 0.705 | 0.621 | 0.695 | 0.695 | 0.735 |
-| loop (representative) | 0.521 | 0.485 | 0.510 | 0.510 | n/a (new leg) |
-| loop (fixture) | 0.415 | 0.417 | 0.467 | 0.417 | 0.335 |
+{regen_rows}
+{regen_medians}
 
-The tables above carry the LAST regen's values; the medians are the
-better point estimates. The engine-code deltas this round are real and
-visible through the noise: the fixture loop rose 0.335 → ~0.42
-(schedule pin + driver-side seen delta), mega absolute throughput rose
-at both legs (16.0k→17.1k at N, 47.2k→peak 54.2k at 4N), and the
-representative loop clears 0.5 in 2 of 3 regens.
+Historical context (r2/r3 rounds, earlier engine versions — not
+directly comparable): r3 measured stage medians 0.736 across three
+regens on a contended evening (range 0.659–0.778) vs r2's 0.863 in a
+quieter window; ±40% swing was observed between consecutive idle-box
+8-core stage runs (14.1k/17.3k/25.7k URLs/s). The per-section tables
+above carry THIS regen's values; the ledger medians are the better
+point estimates.
 
 Raw: `{json.dumps({"stage": stage, "mega": mega, "loop": loop, "loop_fixture": loop_fixture})}`
 """)
