@@ -408,6 +408,81 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# pair graph → dedup groups (connected components) → keep list
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, comp) labels for the undirected pair graph — min-label
+    propagation to a fixpoint (the standard Spark-native connected
+    components; what GraphFrames/GraphX run under the hood).
+
+    Every near-dup family emits PAIRS; turning pairs into a keep/drop
+    decision needs the transitive closure (A~B, B~C ⇒ one group), and
+    "drop doc_b of every pair" over-deletes chains. Each round is two
+    hash joins on the (bounded) edge list; the label frame is pinned
+    per round with ``localCheckpoint`` (cuts the growing lineage — the
+    iterative-algorithm analog of the crawl loop's per-iteration
+    materialization) and the loop stops when a round changes no label
+    (one footer-free count per round, on rows that shrink to zero).
+    Deterministic: labels converge to the component-minimum id.
+    Diameter bounds rounds: ``max_iter`` is a guard, real near-dup
+    clusters converge in a handful.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("comp").alias("__nmin"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = (
+            labels.join(neigh_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("__nmin"), F.col("comp"))).alias("comp"),
+                (F.coalesce(F.col("__nmin"), F.col("comp")) < F.col("comp")).alias("__chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("__chg")).limit(1).count()
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_groups(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """(comp, n_docs, keep_id) per duplicate GROUP: transitive closure
+    of the pair graph, keep the minimum id (the reference policy:
+    first-seen survives), drop the rest. ``comp`` equals ``keep_id`` by
+    construction (min-label convergence)."""
+    comp = connected_components(pairs, a_col, b_col)
+    return (
+        comp.groupBy("comp")
+        .agg(F.count("*").alias("n_docs"), F.min("node").alias("keep_id"))
+        .orderBy("comp")
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dup
 # ---------------------------------------------------------------------------
 

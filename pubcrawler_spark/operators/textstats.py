@@ -273,6 +273,98 @@ def winnow_pairs(
     return pairs.orderBy(F.desc("n_shared"), "doc_a", "doc_b")
 
 
+def span_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    unit: str = "token",
+) -> DataFrame:
+    """Cross-document SPAN duplication stats — the C4 span-dedup /
+    train-set-overlap rule family, as per-doc signals: for every
+    sliding window of ``n`` consecutive units, a span is a DUPLICATE
+    unless this (doc, pos) is the span's first occurrence corpus-wide
+    (first = smallest (doc, pos) — deterministic under any
+    parallelism).
+
+    - ``unit="token"``, n=13 — the GPT-3/Gopher 13-gram overlap rule
+      (Brown et al. 2020 App. C decontamination; Rae et al. 2021):
+      whitespace tokens, the standard unit for webtext soup.
+    - ``unit="sentence"``, n=3 — the C4 rule verbatim (Raffel et al.
+      2020 §2.2: "we discarded all but one of any three-sentence span
+      occurring more than once in the data set"); sentences split on
+      the RE2-compatible ``[.!?]\\s+`` (consumes the terminator) so a
+      DuckDB oracle reproduces it exactly.
+
+    Complements the other dedup families: q14 is whole-doc exact, q43
+    is WITHIN-doc repetition; this is the cross-doc partial-overlap
+    rule that catches syndicated paragraphs and quoted boilerplate.
+
+    Plan shape: unit split + span build are pure array expressions;
+    the only shuffle keys on the 16-byte span hash (explode → groupBy
+    md5 → min-struct + count → join back → per-doc agg) — exactly the
+    exact-dedup shuffle, span-grained.
+    """
+    col = F.coalesce(F.col(text_col), F.lit(""))
+    if unit == "token":
+        norm = lambda s: F.trim(s)
+        split_re = r"\s+"
+    elif unit == "sentence":
+        # strip trailing terminators too: the split consumes '.' only
+        # when whitespace FOLLOWS, so without this the final sentence
+        # of every doc ("...three.") hashes differently from the same
+        # sentence mid-doc ("...three") and end-of-text spans never match
+        norm = lambda s: F.regexp_replace(F.trim(s), r"[.!?]+$", "")
+        split_re = r"[.!?]\s+"
+    else:
+        raise ValueError(f"unknown unit {unit!r} (expected 'token' or 'sentence')")
+    units = F.filter(
+        F.transform(F.split(col, split_re), norm),
+        lambda s: F.length(s) > 0,
+    )
+    base = df.select(F.col(id_col).alias("doc"), units.alias("__s")).withColumn(
+        "__n", F.size("__s") - F.lit(n - 1)
+    )
+    spans = base.filter(F.col("__n") > 0).select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__n")),
+                lambda i: F.md5(F.array_join(F.slice("__s", i, n), " ")),
+            )
+        ).alias("pos", "h"),
+    )
+    groups = spans.groupBy("h").agg(
+        F.count("*").alias("__cnt"),
+        F.min(F.struct(F.col("doc"), F.col("pos"))).alias("__first"),
+    )
+    flagged = spans.join(groups, "h").withColumn(
+        "__dup",
+        (F.col("__cnt") > 1)
+        & ~((F.col("doc") == F.col("__first.doc")) & (F.col("pos") == F.col("__first.pos"))),
+    )
+    per_doc = flagged.groupBy("doc").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("__dup").cast("long")).alias("n_dup_spans"),
+    )
+    empty = base.filter(F.col("__n") <= 0).select(
+        "doc",
+        F.lit(0).cast("long").alias("n_spans"),
+        F.lit(0).cast("long").alias("n_dup_spans"),
+    )
+    return (
+        per_doc.unionByName(empty)
+        .withColumn(
+            "dup_span_frac",
+            F.round(
+                F.when(F.col("n_spans") > 0, F.col("n_dup_spans") / F.col("n_spans")).otherwise(0.0),
+                6,
+            ),
+        )
+        .select("doc", "n_spans", "n_dup_spans", "dup_span_frac")
+    )
+
+
 def trigram_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Character-trigram Shannon entropy per doc (bits) — the cheap
     deterministic stand-in for the LM-perplexity quality filters of

@@ -1526,3 +1526,85 @@ def q52(spark, sf_dir):
         d, "doc_id", "text", k=8, window=4, min_shared=2, min_shared_frac=0.2
     )
     return dedup.verify_pairs_exact(cand, d, "doc_id", "text", k=8, threshold=0.35)
+
+
+@q(
+    "q53_span_dedup_13gram",
+    """
+    WITH d AS (SELECT doc_id AS doc, coalesce(text, '') AS t FROM documents),
+    s AS (SELECT doc,
+                 list_filter(list_transform(string_split_regex(t, '\\s+'), x -> trim(x)),
+                             x -> length(x) > 0) AS toks
+          FROM d),
+    b AS (SELECT doc, toks, len(toks) - 12 AS n FROM s),
+    spans AS (
+      SELECT doc,
+             unnest(list_transform(range(1, n + 1),
+                    i -> struct_pack(pos := i,
+                                     h := md5(array_to_string(toks[i:i+12], ' '))))) AS sp
+      FROM b WHERE n > 0),
+    flagged AS (
+      SELECT doc, sp.pos AS pos, sp.h AS h,
+             COUNT(*) OVER (PARTITION BY sp.h) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY sp.h ORDER BY doc, sp.pos) AS rn
+      FROM spans),
+    per_doc AS (
+      SELECT doc, COUNT(*)::BIGINT AS n_spans,
+             SUM(CASE WHEN cnt > 1 AND rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans
+      FROM flagged GROUP BY doc
+      UNION ALL
+      SELECT doc, 0::BIGINT, 0::BIGINT FROM b WHERE n <= 0)
+    SELECT doc, n_spans, n_dup_spans,
+           ROUND(CASE WHEN n_spans > 0 THEN n_dup_spans * 1.0 / n_spans ELSE 0.0 END, 6) AS dup_span_frac
+    FROM per_doc ORDER BY doc
+    """,
+)
+def q53(spark, sf_dir):
+    """Cross-document 13-token-gram span dedup signals (the GPT-3/
+    Gopher overlap rule; Brown et al. 2020 App. C) under a SQL oracle:
+    a span is duplicate unless its (doc, pos) is the span's first
+    occurrence corpus-wide. The only shuffle keys on the 16-byte span
+    hash — the exact-dedup shuffle, span-grained. (The C4
+    three-SENTENCE variant is the same operator with unit="sentence";
+    this corpus has no sentence punctuation, so the token rule is the
+    non-degenerate gate signal.)"""
+    return textstats.span_dedup_stats(
+        _t(spark, sf_dir, "documents"), n=13, unit="token"
+    ).orderBy("doc")
+
+
+@q(
+    "q54_dedup_groups",
+    """
+    WITH RECURSIVE
+    d AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, length(t) - 3), i -> substr(t, i, 5)))) AS shingle
+           FROM d WHERE length(t) >= 5),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b FROM inter
+              JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+              WHERE n_inter * 1.0 / (x.sz + y.sz - n_inter) >= 0.35),
+    sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    c AS (SELECT a AS node, least(a, MIN(b)) AS comp FROM reach GROUP BY a)
+    SELECT comp, COUNT(*)::BIGINT AS n_docs, MIN(node) AS keep_id
+    FROM c GROUP BY comp ORDER BY comp
+    """,
+)
+def q54(spark, sf_dir):
+    """Dedup GROUP resolution under a SQL oracle: the exact-Jaccard
+    pair graph's transitive closure (iterative min-label propagation,
+    localCheckpoint-pinned per round — the Spark-native connected
+    components) → (comp, n_docs, keep_id). This is the step that turns
+    every pair family (q15/q51/q52) into an actual keep/drop decision
+    without the over-deletion of naive drop-doc_b; the oracle computes
+    the same closure with a recursive CTE."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.35)
+    return dedup.dedup_groups(pairs)

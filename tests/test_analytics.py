@@ -205,3 +205,30 @@ def test_gopher_repetition_planted(spark):
     assert got[2]["dup_line_frac"] == 0.0
     assert got[2]["top_bigram_frac"] == 0.0
     assert got[2]["n_bigrams"] == 0
+
+
+def test_c4_span_stats_planted(spark):
+    """Planted cross-doc duplication: docs 1 and 2 share a 3-sentence
+    run; the first occurrence (doc 1) is kept, doc 2's copy is flagged;
+    a short doc (<3 sentences) degrades to zero spans."""
+    from pubcrawler_spark.operators import textstats
+
+    shared = "Alpha one. Beta two. Gamma three."
+    rows = [
+        (1, shared + " Delta four. Epsilon five."),
+        (2, "Intro sentence here. " + shared),
+        (3, "Unique text only. Nothing shared at all. Third sentence here."),
+        (4, "Too short. Really."),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc: (r.n_spans, r.n_dup_spans, r.dup_span_frac)
+           for r in textstats.span_dedup_stats(df, n=3, unit="sentence").collect()}
+    # doc1: 5 sentences -> 3 spans, all first occurrences
+    assert got[1] == (3, 0, 0.0)
+    # doc2: 4 sentences -> 2 spans; the (shared s1,s2,s3) span at pos 2
+    # duplicates doc1's pos-1 span
+    assert got[2][0] == 2 and got[2][1] == 1
+    assert got[3] == (1, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)  # 2 sentences -> no 3-span
+    assert got[5] == (0, 0, 0.0)

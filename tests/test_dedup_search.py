@@ -374,3 +374,20 @@ def test_verify_pairs_exact_equals_allpairs(spark, docs):
     out = {(r.doc_a, r.doc_b, r.jaccard)
            for r in dedup.verify_pairs_exact(pairs, edge, "doc_id", "text", k=3, threshold=0.5).collect()}
     assert out == {(2, 3, 1.0)}
+
+
+def test_dedup_groups_transitive(spark):
+    """Chains must collapse into ONE group (A~B, B~C => {A,B,C} even
+    when A~C was never emitted as a pair) — the over-deletion-free
+    keep/drop resolution naive drop-doc_b policies get wrong."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # 4-chain -> one component, keep 1
+         (10, 11),                    # simple pair
+         (20, 22), (21, 22)],         # star via max node
+        "doc_a long, doc_b long",
+    )
+    got = {(r.comp, r.n_docs, r.keep_id) for r in dedup.dedup_groups(pairs).collect()}
+    assert got == {(1, 4, 1), (10, 2, 10), (20, 3, 20)}
+
+    labels = {r.node: r.comp for r in dedup.connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
