@@ -364,6 +364,15 @@ def run_scaling(n_pages: int, budget: int = BENCH_BUDGET, replicas: int = 3) -> 
     _bench_fixture_dir(n_pages)
     _bench_fixture_dir(n_pages, filler_kb=16.0)
     loads_seen: list[float] = []
+    steal_seen: list[int] = []
+
+    def _steal_jiffies() -> int:
+        # hypervisor CPU steal is invisible to loadavg but poisons the
+        # wide leg hardest; record the per-run delta so a contended-VM
+        # regen is identifiable after the fact
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8]) if len(parts) > 8 else 0
 
     def run(mode_flag: str, cpus: int, extra: list[str]) -> dict:
         # taskset pins the WHOLE process tree (JVM + GC + shuffle + Arrow
@@ -371,12 +380,14 @@ def run_scaling(n_pages: int, budget: int = BENCH_BUDGET, replicas: int = 3) -> 
         # alone only caps task slots while ancillary threads spill onto
         # the other 32 cores, systematically flattering the small-N leg
         loads_seen.append(_wait_quiet())
+        st0 = _steal_jiffies()
         out = subprocess.run(
             ["taskset", "-c", f"0-{cpus - 1}",
              sys.executable, os.path.abspath(__file__), mode_flag, "--cpus", str(cpus),
              "--pages", str(n_pages)] + extra,
             capture_output=True, text=True, check=True, cwd=REPO,
         )
+        steal_seen.append(_steal_jiffies() - st0)
         return json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
 
     # median of N per level: single-run variance on a shared VM is ±15%
@@ -441,6 +452,7 @@ def run_scaling(n_pages: int, budget: int = BENCH_BUDGET, replicas: int = 3) -> 
         "ts": int(time.time()),
         "quiet": bool(loads_seen) and max(loads_seen) < QUIET_LOAD_THRESHOLD,
         "max_start_load": summary["max_start_load"],
+        "max_run_steal_jiffies": max(steal_seen) if steal_seen else None,
         "stage": stage_eff,
         "mega": mega_eff,
         "loop": loop_eff,
