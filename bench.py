@@ -315,8 +315,8 @@ def run_stage_throughput(cpus: int, n_pages: int, replicas: int) -> dict:
     return {"cpus": cpus, "wall_sec": round(wall, 2), "urls": n, "urls_per_sec": round(n / wall, 1)}
 
 
-QUIET_LOAD_THRESHOLD = 1.2  # 1-min loadavg below which the box counts as quiet
-QUIET_WAIT_MAX_S = 1500
+QUIET_LOAD_THRESHOLD = 2.0  # 1-min loadavg gate; this VM idles at ~1.5-2.5 bursty background, so 2.0 is the strictest reachable gate
+QUIET_WAIT_MAX_S = 900
 
 
 def _wait_quiet(max_wait_s: int = QUIET_WAIT_MAX_S) -> float:
