@@ -77,7 +77,13 @@ def resolve_dot_segments(path: str) -> str:
     # preserve trailing slash semantics of /. and /..
     if path.endswith(("/.", "/..")) and (not out or out[-1] != ""):
         out.append("")
-    return "/".join(out)
+    res = "/".join(out)
+    # an absolute path can collapse to nothing ('/.', '/..', '/a/..'):
+    # RFC 3986 §5.2.4 leaves the root '/' — and without it the result
+    # is not idempotent ('http://h/.' → 'http://h' → 'http://h/')
+    if not res and path.startswith("/"):
+        return "/"
+    return res
 
 
 def canonicalize_one(url: str) -> str:

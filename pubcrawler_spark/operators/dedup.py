@@ -439,12 +439,26 @@ def connected_components(
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
+    def _unpersist_ckpt(df: DataFrame) -> None:
+        # free the PREVIOUS round's localCheckpoint blocks — without
+        # this, executor storage grows O(rounds × nodes). The RDD
+        # behind a localCheckpoint'd Dataset is only reachable through
+        # the LogicalRDD plan node (Dataset.unpersist only uncaches
+        # df.persist entries); best-effort because the accessor is
+        # internal.
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    prev_ckpt = labels
+    converged = False
     for _ in range(max_iter):
         neigh_min = (
             edges.join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -461,9 +475,22 @@ def connected_components(
             )
         ).localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("__chg")).limit(1).count()
+        _unpersist_ckpt(prev_ckpt)  # new round is materialized; old blocks dead
+        prev_ckpt = new_labels
         labels = new_labels.drop("__chg")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components stopped at max_iter={max_iter} without "
+            "converging — labels may split true components (graph diameter "
+            f"exceeds {max_iter}); raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -153,10 +153,18 @@ def run_incremental_embed(
     scratch = f"{store_path.rstrip('/')}__delta_{uuid.uuid4().hex[:12]}"
     try:
         new_emb.write.mode("overwrite").parquet(scratch)
-        delta = spark.read.parquet(scratch)
-        n = delta.count()
+        # delta size from the parquet footers just written — no Spark
+        # job between the delta write and the append (the crawl loop's
+        # zero-action counter discipline)
+        import pyarrow.parquet as pq
+
+        n = sum(
+            pq.ParquetFile(os.path.join(scratch, f)).metadata.num_rows
+            for f in os.listdir(scratch)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
         if n:
-            delta.write.mode("append").parquet(store_path)
+            spark.read.parquet(scratch).write.mode("append").parquet(store_path)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return n

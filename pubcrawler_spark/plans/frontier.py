@@ -407,6 +407,16 @@ class CrawlEngine:
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
 
+        # The in-memory seen filter is mutated (cuckoo/bloom add_hashes)
+        # BEFORE the commit rename below; mark it dirty NOW so a failure
+        # anywhere in this iteration forces resume() to re-read the
+        # committed shards instead of keeping a filter contaminated with
+        # this iteration's (never-committed) url_hashes — in bloom mode
+        # those URLs would otherwise be silently un-crawlable forever
+        # (bloom cannot delete). Restored to k only after the atomic
+        # commit succeeds.
+        self._filter_state_k = None
+
         job_ms: dict[str, int] = {}
 
         def _write(df: DataFrame, name: str) -> str:

@@ -105,17 +105,18 @@ def _materialized(spark: SparkSession, sf_dir: str, name: str, build_fn, writer=
             build_fn().write.mode("overwrite").parquet(scratch)
         try:
             os.rename(scratch, path)  # atomic on the same filesystem
-        except OSError as e:
-            # only a concurrent builder winning the race leaves the
-            # target present (ENOTEMPTY/EEXIST); anything else
-            # (EXDEV, EACCES, ...) is a real failure — re-raise instead
-            # of silently discarding the fresh build and then crashing
-            # on an unrelated-looking read error
-            import errno
-
-            if e.errno not in (errno.ENOTEMPTY, errno.EEXIST) or not os.path.exists(
-                os.path.join(path, "_SUCCESS")
-            ):
+        except OSError:
+            # a concurrent builder winning the race leaves a COMPLETE
+            # index (with its _SUCCESS marker) at the target; the errno
+            # for rename-onto-existing-dir is platform-inconsistent
+            # (ENOTEMPTY/EEXIST on Linux, EISDIR/ENOTDIR/EPERM
+            # elsewhere), so the marker — not the errno — decides: if
+            # the winner's _SUCCESS is present the builds are
+            # equivalent (same content key) and ours is dropped;
+            # otherwise it's a real failure (EXDEV, EACCES, ...) —
+            # re-raise instead of silently discarding the fresh build
+            # and then crashing on an unrelated-looking read error
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
                 shutil.rmtree(scratch, ignore_errors=True)
                 raise
             # lost the race — the winner's index is equivalent (same
@@ -1608,3 +1609,106 @@ def q54(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.35)
     return dedup.dedup_groups(pairs)
+
+
+@q(
+    "q55_dedup_corpus",
+    """
+    WITH RECURSIVE
+    d AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, length(t) - 3), i -> substr(t, i, 5)))) AS shingle
+           FROM d WHERE length(t) >= 5),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b FROM inter
+              JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+              WHERE n_inter * 1.0 / (x.sz + y.sz - n_inter) >= 0.35),
+    sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    c AS (SELECT a AS node, least(a, MIN(b)) AS comp FROM reach GROUP BY a)
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM c WHERE node != comp)
+    ORDER BY doc_id
+    """,
+)
+def q55(spark, sf_dir):
+    """The DEDUPLICATED CORPUS — the artifact a training pipeline
+    actually ships (Raffel et al. 2020 §2.2 / Brown et al. 2020 App. C:
+    keep the first occurrence, drop the rest). Closes the loop the
+    signal queries open: q15/q51/q52 emit pairs, q54 resolves pairs
+    into keep/drop groups; this query applies the verdict — documents
+    anti-joined against the drop-set (component members minus the
+    min-id keeper). The anti-join ships only the (bounded) drop-ids,
+    so at 100 TB the corpus is read once and never shuffled; the
+    oracle computes the same closure with a recursive CTE and the
+    NOT IN anti-join."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.35)
+    labels = dedup.connected_components(pairs)
+    drops = labels.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        d.join(F.broadcast(drops), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "q56_span_dedup_c4_sentences",
+    """
+    WITH d AS (SELECT doc_id AS doc, coalesce(text, '') AS t0 FROM documents),
+    n1 AS (SELECT doc, regexp_replace(trim(t0), '\\s+', ' ', 'g') AS t1 FROM d),
+    n2 AS (SELECT doc, regexp_replace(t1, '((?:\\S+ ){2}\\S+) ', '\\1. ', 'g') AS t FROM n1),
+    s AS (SELECT doc,
+                 list_filter(list_transform(string_split_regex(t, '[.!?]\\s+'),
+                             x -> regexp_replace(trim(x), '[.!?]+$', '')),
+                             x -> length(x) > 0) AS toks
+          FROM n2),
+    b AS (SELECT doc, toks, len(toks) - 2 AS n FROM s),
+    spans AS (
+      SELECT doc,
+             unnest(list_transform(range(1, n + 1),
+                    i -> struct_pack(pos := i,
+                                     h := md5(array_to_string(toks[i:i+2], ' '))))) AS sp
+      FROM b WHERE n > 0),
+    flagged AS (
+      SELECT doc, sp.pos AS pos, sp.h AS h,
+             COUNT(*) OVER (PARTITION BY sp.h) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY sp.h ORDER BY doc, sp.pos) AS rn
+      FROM spans),
+    per_doc AS (
+      SELECT doc, COUNT(*)::BIGINT AS n_spans,
+             SUM(CASE WHEN cnt > 1 AND rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans
+      FROM flagged GROUP BY doc
+      UNION ALL
+      SELECT doc, 0::BIGINT, 0::BIGINT FROM b WHERE n <= 0)
+    SELECT doc, n_spans, n_dup_spans,
+           ROUND(CASE WHEN n_spans > 0 THEN n_dup_spans * 1.0 / n_spans ELSE 0.0 END, 6) AS dup_span_frac
+    FROM per_doc ORDER BY doc
+    """,
+)
+def q56(spark, sf_dir):
+    """C4 three-SENTENCE span dedup (Raffel et al. 2020 §2.2 verbatim:
+    "we discarded all but one of any three-sentence span occurring more
+    than once") under a SQL oracle. The fixture corpus has no sentence
+    punctuation, so — the q44-q46 payload-synthesis trick — a
+    punctuated column is synthesized deterministically on BOTH sides:
+    whitespace collapsed, then '. ' inserted after every third token
+    (one left-to-right regex pass, identical semantics in Java regex
+    and RE2). span_dedup_stats then runs in unit="sentence" mode, the
+    same operator q53 gates in token mode; shared three-sentence spans
+    across near-duplicate docs are the non-degenerate signal."""
+    d = _t(spark, sf_dir, "documents")
+    t1 = F.regexp_replace(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " ")
+    t2 = F.regexp_replace(t1, r"((?:\S+ ){2}\S+) ", r"$1. ")
+    punct = d.select(F.col("doc_id"), t2.alias("text"))
+    return textstats.span_dedup_stats(punct, id_col="doc_id", n=3, unit="sentence").orderBy(
+        "doc"
+    )

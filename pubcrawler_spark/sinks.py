@@ -123,13 +123,21 @@ def write_index(
         )
         # swap without a visibility gap: rename the old index ASIDE
         # (readers holding the old path keep their open files), rename
-        # the compacted build into place, then delete the old dir — a
-        # crash between steps leaves either the old or the new index
-        # present, never neither
+        # the compacted build into place, then delete the old dir. If
+        # the second rename fails, the except guard restores the old
+        # index at `path` before re-raising, so readers of `path` never
+        # see it missing (a hard crash between the two renames still
+        # leaves the old data recoverable at the __old tag).
         old = f"{path}__old_{tag}"
-        if os.path.isdir(path):
+        had_old = os.path.isdir(path)
+        if had_old:
             os.rename(path, old)
-        os.rename(compacted, path)
+        try:
+            os.rename(compacted, path)
+        except BaseException:
+            if had_old and not os.path.exists(path):
+                os.rename(old, path)
+            raise
         shutil.rmtree(old, ignore_errors=True)
         n_out = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
         out_bytes = sum(
