@@ -142,6 +142,7 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1
+_UNPERSIST_WARNED = False  # once-per-process accessor-breakage warning
 
 
 def _minhash_matrix(shingle_hashes: list[np.ndarray], n_perm: int, seed: int = 7) -> np.ndarray:
@@ -448,8 +449,22 @@ def connected_components(
         # internal.
         try:
             df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            pass
+        except Exception as exc:
+            # log once so a Spark-version break of this internal
+            # accessor is observable (the regression it guards —
+            # O(rounds × nodes) executor-storage growth — would
+            # otherwise return invisibly)
+            global _UNPERSIST_WARNED
+            if not _UNPERSIST_WARNED:
+                _UNPERSIST_WARNED = True
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "connected-components: localCheckpoint unpersist "
+                    "accessor failed (%s: %s); executor storage will "
+                    "grow O(rounds × nodes) this run",
+                    type(exc).__name__, exc,
+                )
 
     labels = (
         edges.select(F.col("src").alias("node"))

@@ -158,11 +158,26 @@ def run_incremental_embed(
         # zero-action counter discipline)
         import pyarrow.parquet as pq
 
+        data_files = [
+            f for f in os.listdir(scratch)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        # pq.read_metadata opens/closes per call (no leaked handles);
+        # the name filter above keys on the .parquet suffix rather than
+        # the local committer's part-* prefix so a committer/codec
+        # change cannot silently under-count the delta (n==0 skips the
+        # append). Guard anyway: data present but nothing matched ⇒
+        # layout assumption broke — fail loudly instead of dropping it.
         n = sum(
-            pq.ParquetFile(os.path.join(scratch, f)).metadata.num_rows
-            for f in os.listdir(scratch)
-            if f.startswith("part-") and f.endswith(".parquet")
+            pq.read_metadata(os.path.join(scratch, f)).num_rows for f in data_files
         )
+        if not data_files and any(
+            not f.startswith(("_", ".")) for f in os.listdir(scratch)
+        ):
+            raise RuntimeError(
+                f"incremental-embed delta dir {scratch} contains data files "
+                "with an unrecognized layout; refusing to silently skip append"
+            )
         if n:
             spark.read.parquet(scratch).write.mode("append").parquet(store_path)
     finally:

@@ -407,16 +407,6 @@ class CrawlEngine:
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
 
-        # The in-memory seen filter is mutated (cuckoo/bloom add_hashes)
-        # BEFORE the commit rename below; mark it dirty NOW so a failure
-        # anywhere in this iteration forces resume() to re-read the
-        # committed shards instead of keeping a filter contaminated with
-        # this iteration's (never-committed) url_hashes — in bloom mode
-        # those URLs would otherwise be silently un-crawlable forever
-        # (bloom cannot delete). Restored to k only after the atomic
-        # commit succeeds.
-        self._filter_state_k = None
-
         job_ms: dict[str, int] = {}
 
         def _write(df: DataFrame, name: str) -> str:
@@ -636,6 +626,18 @@ class CrawlEngine:
         t0 = time.monotonic()
         n_fetch_miss = _col_sum_false(pl_path, "fetched")
         job_ms["miss_counter"] = int((time.monotonic() - t0) * 1000)
+        # The in-memory seen filter is about to be mutated (cuckoo/bloom
+        # add_hashes) BEFORE the commit rename below; mark it dirty
+        # immediately before the first mutation — not at iteration
+        # start — so a failure during the fetch/parse phase (filter
+        # untouched) keeps the filter valid and preserves any
+        # mark_unseen re-crawl intent, while a failure between here and
+        # the commit still forces resume() to re-read the committed
+        # shards instead of keeping a filter contaminated with this
+        # iteration's (never-committed) url_hashes — in bloom mode those
+        # URLs would otherwise be silently un-crawlable forever (bloom
+        # cannot delete). Restored to k only after the atomic commit.
+        self._filter_state_k = None
         if self.seen_mode == "cuckoo":
             # cuckoo shards: driver-held tables, delete-capable (the
             # re-crawl path bloom cannot express); delta from the ledger

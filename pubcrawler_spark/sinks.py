@@ -136,7 +136,19 @@ def write_index(
             os.rename(compacted, path)
         except BaseException:
             if had_old and not os.path.exists(path):
-                os.rename(old, path)
+                try:
+                    os.rename(old, path)
+                except OSError:
+                    # restore failed too: the previous index is intact
+                    # but stranded at the __old tag — name it loudly so
+                    # an operator can recover it by hand
+                    import logging
+
+                    logging.getLogger(__name__).error(
+                        "compact_index: restore rename failed; previous "
+                        "index stranded at %s", old,
+                    )
+                    raise
             raise
         shutil.rmtree(old, ignore_errors=True)
         n_out = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
