@@ -111,6 +111,35 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_package(args) -> int:
+    """Build the ``--py-files`` archive for cluster submission: zips the
+    ``pubcrawler_spark`` package (sources only, no caches) so the same
+    job that runs here runs on a multi-executor cluster as
+
+        spark-submit --py-files pubcrawler_spark.zip \\
+            -m pubcrawler_spark.cli crawl ...
+
+    Pure driver-side file work — no SparkSession."""
+    import os
+    import zipfile
+
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    parent = os.path.dirname(pkg_root)
+    out = os.path.abspath(args.out)
+    n = 0
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, dirnames, filenames in os.walk(pkg_root):
+            dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
+            for fname in sorted(filenames):
+                if not fname.endswith(".py"):
+                    continue
+                full = os.path.join(dirpath, fname)
+                zf.write(full, os.path.relpath(full, parent))
+                n += 1
+    print(json.dumps({"archive": out, "files": n}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     common = argparse.ArgumentParser(add_help=False)
     common.add_argument("--master", default=None, help="Spark master (default: local[$SPARK_GRAFT_CPUS or *])")
@@ -162,6 +191,12 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--papers", required=True)
     a.add_argument("--out", required=True)
     a.set_defaults(fn=cmd_analyze)
+
+    p = sub.add_parser(
+        "package", help="build the spark-submit --py-files zip", parents=[common]
+    )
+    p.add_argument("--out", default="pubcrawler_spark.zip")
+    p.set_defaults(fn=cmd_package)
 
     args = ap.parse_args(argv)
     return args.fn(args)
