@@ -84,8 +84,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: _wrap(fn) for name, fn in QUERIES.items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Oracle-backed queries are listed first (stable within each group):
+    the driver's correctness gate samples a bounded prefix of this dict,
+    so the designed rows-only entries (no ANSI-SQL oracle exists; each is
+    pinned by the reference mirror or value-level pytest instead) must
+    not displace oracle-checkable ones out of the window."""
+    ordered = sorted(QUERIES, key=lambda name: name not in ORACLES)
+    return {name: _wrap(QUERIES[name]) for name in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

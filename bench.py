@@ -46,6 +46,10 @@ HEADLINE_QUERIES = [
     "q26_politeness_schedule",
     "q16_minhash_lsh_pairs",
     "q31_bm25_search",
+    "q53_span_dedup_13gram",
+    "q54_dedup_groups",
+    "q55_dedup_corpus",
+    "q56_span_dedup_c4_sentences",
 ]
 
 
@@ -241,6 +245,14 @@ def main() -> None:
     cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", max(8, (os.cpu_count() or 16) // 2)))
     from pubcrawler_spark.session import get_spark
 
+    # measurement hygiene (same fields the scaling ledger records): a
+    # bounded quiet wait, the 1-min loadavg actually seen at start, and
+    # the hypervisor-steal delta over the run — a contended capture is
+    # then identifiable in BENCH_rN itself instead of by cross-round
+    # archaeology (the r4/r6 uniform ~20-30% slowdowns).
+    start_load = _wait_quiet(max_wait_s=180)
+    st0 = _steal_jiffies()
+
     spark = get_spark("pubcrawler-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -256,6 +268,14 @@ def main() -> None:
     }
     if not args.frontier_only:
         result["queries"] = run_query_bench(spark, SF_DIR)
+        from pubcrawler_spark.operators import dedup as _dedup
+
+        # q55's connected-components loop is the one benched query with
+        # per-round Spark jobs; its round count is the latency driver
+        result["q55_cc_rounds"] = _dedup.CC_LAST_ROUNDS
+    result["start_load"] = round(start_load, 2)
+    result["quiet"] = start_load < QUIET_LOAD_THRESHOLD
+    result["steal_jiffies"] = _steal_jiffies() - st0
     print(json.dumps(result))
     spark.stop()
 
@@ -350,6 +370,15 @@ QUIET_LOAD_THRESHOLD = 2.0  # 1-min loadavg gate; this VM idles at ~1.5-2.5 burs
 QUIET_WAIT_MAX_S = 900
 
 
+def _steal_jiffies() -> int:
+    """Hypervisor CPU steal (cumulative, /proc/stat field 8) — invisible
+    to loadavg but poisons pinned measurements hardest; per-run deltas
+    make a contended-VM capture identifiable after the fact."""
+    with open("/proc/stat") as fh:
+        parts = fh.readline().split()
+    return int(parts[8]) if len(parts) > 8 else 0
+
+
 def _wait_quiet(max_wait_s: int = QUIET_WAIT_MAX_S) -> float:
     """Block until the box is quiet (1-min loadavg below threshold) or
     the wait budget runs out; returns the loadavg the run started at.
@@ -396,14 +425,6 @@ def run_scaling(n_pages: int, budget: int = BENCH_BUDGET, replicas: int = 3) -> 
     _bench_fixture_dir(n_pages, filler_kb=16.0)
     loads_seen: list[float] = []
     steal_seen: list[int] = []
-
-    def _steal_jiffies() -> int:
-        # hypervisor CPU steal is invisible to loadavg but poisons the
-        # wide leg hardest; record the per-run delta so a contended-VM
-        # regen is identifiable after the fact
-        with open("/proc/stat") as fh:
-            parts = fh.readline().split()
-        return int(parts[8]) if len(parts) > 8 else 0
 
     def run(mode_flag: str, cpus: int, extra: list[str]) -> dict:
         # taskset pins the WHOLE process tree (JVM + GC + shuffle + Arrow
@@ -519,6 +540,54 @@ def run_scaling(n_pages: int, budget: int = BENCH_BUDGET, replicas: int = 3) -> 
         s = sorted(vals)
         return s[len(s) // 2]
 
+    # headline numbers = quiet-window medians over CURRENT-PROTOCOL
+    # regens (quiet AND carrying the scan-ceiling control leg — the
+    # pre-protocol r1/r2 entries are systematically deflated by the
+    # driver-tax asymmetry, and contended entries are measurement
+    # noise; both stay visible in the §7 ledger, footnoted)
+    cur_protocol = [
+        r for r in regens if r.get("quiet") and r.get("scan_ceiling") is not None
+    ]
+
+    def qmed(key):
+        vals = [r[key] for r in cur_protocol if r.get(key) is not None]
+        return _median(vals) if vals else None
+
+    n_quiet = len(cur_protocol)
+    med_stage, med_ceiling = qmed("stage"), qmed("scan_ceiling")
+    med_ratio, med_mega, med_loop = qmed("stage_vs_ceiling"), qmed("mega"), qmed("loop")
+
+    def _verdict_line(val, target):
+        if val is None:
+            return "no quiet current-protocol regen yet"
+        return f"{val} ({'meets' if val >= target else 'below'} {target})"
+
+    verdict_block = f"""## Verdict — quiet-window medians (current protocol, n={n_quiet})
+
+Headline numbers are MEDIANS across quiet-window regens that include
+the scan-ceiling control (the §7 ledger rows marked `quiet` with a
+ceiling column); single-regen values further down are labeled "this
+regen" and are not the claim. Contended and pre-protocol regens stay
+in the ledger, footnoted, and contribute nothing here.
+
+| quantity | quiet median | target |
+|---|---|---|
+| north-star stage N→4N | {med_stage if med_stage is not None else "—"} | ≥0.8 (north rule) |
+| scan ceiling N→4N (pure-JVM control) | {med_ceiling if med_ceiling is not None else "—"} | box limit, not a target |
+| **stage / ceiling** | {med_ratio if med_ratio is not None else "—"} | ≥0.8 |
+| mega iteration N→4N | {med_mega if med_mega is not None else "—"} | ≥0.75 (working bar) |
+| steady loop N→4N | {med_loop if med_loop is not None else "—"} | ≥0.6 (working bar) |
+
+North-rule reading: the box's own pure-JVM scan scales at
+{med_ceiling if med_ceiling is not None else "—"} N→4N on this shared
+VM (single memory bus + hypervisor steal), so raw stage efficiency is
+bounded by hardware the engine does not control; the engine-quality
+number is stage/ceiling = {_verdict_line(med_ratio, 0.8)}. Raw stage
+median = {_verdict_line(med_stage, 0.8)}. A multi-executor cluster
+adds a memory bus per node, so both raw numbers understate multi-node
+scaling.
+"""
+
     regen_rows = "\n".join(
         f"| {i + 1} | {r['stage']} | {r.get('scan_ceiling', '—')} | {r.get('stage_vs_ceiling', '—')} "
         f"| {r['mega']} | {r['loop']} | {r['loop_fixture']} "
@@ -552,7 +621,8 @@ cluster avoids by provisioning spark.executor.cores. 2→8 keeps both
 levels proportionally loaded. local[32] numbers are reported below for
 transparency.
 
-## 0. Hardware control: the box's own scaling ceiling
+{verdict_block}
+## 0. Hardware control: the box's own scaling ceiling (this regen)
 
 The pure-JVM parquet scan of the same pages (decompress + project, no
 Python, no engine code) measures what THIS box can scale at all:
@@ -562,7 +632,7 @@ Python, no engine code) measures what THIS box can scale at all:
 | local[2] (N) | {scan[2]["urls_per_sec"]} |
 | local[8] (4N) | {scan[8]["urls_per_sec"]} |
 
-**Scan ceiling N→4N = {scan_eff}.** Per-core scan throughput decays
+**Scan ceiling N→4N = {scan_eff} (this regen).** Per-core scan throughput decays
 with core count at ZERO software overhead — single-box memory
 bandwidth/LLC saturation (and hypervisor steal, recorded per regen in
 the ledger). A multi-executor cluster brings a memory bus per node, so
@@ -570,7 +640,7 @@ this ceiling — and with it every raw efficiency below — understates
 multi-node scaling. Engine quality is the stage number measured
 AGAINST this ceiling.
 
-## 1. North-star stage: canonicalize + murmur3 + batch parse
+## 1. North-star stage: canonicalize + murmur3 + batch parse (this regen)
 {stage[2]["urls"]} Common-Crawl-sized (16 KB) pages through the Arrow
 UDF pipeline (data-proportional work, the component that bounds a
 10^10-URL crawl):
@@ -581,12 +651,12 @@ UDF pipeline (data-proportional work, the component that bounds a
 | local[8] (4N) | {stage[8]["urls_per_sec"]} | {stage[8]["wall_sec"]} |
 | local[32] (16N, oversubscribed) | {stage[32]["urls_per_sec"]} | {stage[32]["wall_sec"]} |
 
-**Scaling efficiency N→4N = {stage_eff}** (north-rule target ≥ 0.8);
+**Scaling efficiency N→4N = {stage_eff} (this regen)** (north-rule target ≥ 0.8);
 **= {stage_vs_ceiling} of the hardware ceiling (§0)** — the engine
 adds {round((1 - (stage_vs_ceiling or 0)) * 100)}% scaling overhead on
 top of what the box itself loses.
 
-## 2. Full frontier iteration (schedule→fetch→parse→expand→commit)
+## 2. Full frontier iteration (schedule→fetch→parse→expand→commit; this regen)
 One work-dominated iteration, ~{mega[2]["urls"] // 2} URLs scheduled+parsed:
 
 | parallelism | URLs/sec | wall sec |
@@ -594,11 +664,11 @@ One work-dominated iteration, ~{mega[2]["urls"] // 2} URLs scheduled+parsed:
 | local[2] | {mega[2]["urls_per_sec"]} | {mega[2]["wall_sec"]} |
 | local[8] | {mega[8]["urls_per_sec"]} | {mega[8]["wall_sec"]} |
 
-Efficiency N→4N = {mega_eff} (includes the per-iteration fixed cost:
+Efficiency N→4N = {mega_eff} (this regen; includes the per-iteration fixed cost:
 snapshot commit, stage scheduling, broadcast builds — constant per
 iteration, <5% at the north-star 10^7-10^8-URL iteration size).
 
-## 3. Steady-state loop at representative iteration size
+## 3. Steady-state loop at representative iteration size (this regen)
 3 steady iterations over the ×3-replicated corpus
 ({loop[2]["frontier"]["scheduled"]} scheduled / {loop[2]["frontier"]["parsed"]}
 parsed per leg, host budget 2000) — iterations carry ~10^5 URLs each,
@@ -610,7 +680,7 @@ iterations are 10^7-10^8 URLs, where amortization is strictly better):
 | local[2] | {loop[2]["urls_per_sec"]} | {loop[2]["frontier"]["frontier_wall_sec"]} |
 | local[8] | {loop[8]["urls_per_sec"]} | {loop[8]["frontier"]["frontier_wall_sec"]} |
 
-**Efficiency N→4N = {loop_eff}.**
+**Efficiency N→4N = {loop_eff} (this regen).**
 
 ## 4. Steady-state loop at raw fixture scale (transparency)
 The same loop at fixture size (host budget {budget}, ~13k-URL

@@ -116,8 +116,14 @@ def cmd_package(args) -> int:
     ``pubcrawler_spark`` package (sources only, no caches) so the same
     job that runs here runs on a multi-executor cluster as
 
-        spark-submit --py-files pubcrawler_spark.zip \\
-            -m pubcrawler_spark.cli crawl ...
+        spark-submit --py-files pubcrawler_spark.zip your_job.py crawl ...
+
+    where ``your_job.py`` is a thin launcher (spark-submit takes an
+    application FILE, not ``-m``)::
+
+        import sys
+        from pubcrawler_spark.cli import main
+        sys.exit(main(sys.argv[1:]))
 
     Pure driver-side file work — no SparkSession."""
     import os

@@ -474,7 +474,9 @@ def connected_components(
     )
     prev_ckpt = labels
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neigh_min = (
             edges.join(labels.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src")
@@ -506,7 +508,48 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
+    global CC_LAST_ROUNDS
+    CC_LAST_ROUNDS = rounds
     return labels
+
+
+# observability: label-propagation rounds of the most recent
+# connected_components run in this process (bench reports it — the CC
+# loop is the one registered query with per-round Spark jobs, so its
+# round count is a first-class latency driver)
+CC_LAST_ROUNDS: int = 0
+
+
+# past this many drop-ids the anti-join side stops being broadcast:
+# at a realistic 100 TB dup rate the drop-set is billions of ids, far
+# past driver-serialized broadcast territory. Same gate shape as the
+# fetch join's ``fetch_broadcast_limit`` (plans/frontier.py:479).
+DROPSET_BROADCAST_LIMIT = 4_000_000
+
+
+def deduplicated_corpus(
+    docs: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    broadcast_limit: int = DROPSET_BROADCAST_LIMIT,
+) -> DataFrame:
+    """Apply a keep/drop verdict: anti-join ``docs`` against the
+    drop-set of ``labels`` (component members minus the min-id keeper,
+    i.e. ``node != comp``) — the corpus is read once, never shuffled.
+
+    The drop side is size-gated: ``labels`` comes out of
+    :func:`connected_components` localCheckpoint'd, so the ``count()``
+    here is one cheap scan of materialized blocks (no lineage
+    recompute). At or under ``broadcast_limit`` drop-ids the anti-join
+    broadcasts; past it, it runs as a distributed shuffle anti-join
+    (ids-only on the build side, so the shuffle ships a few bytes per
+    dropped doc)."""
+    drops = labels.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    n_drop = drops.count()
+    drop_side = F.broadcast(drops) if n_drop <= broadcast_limit else drops
+    return docs.join(drop_side, id_col, "left_anti")
 
 
 def dedup_groups(

@@ -232,18 +232,40 @@ def host_budgets_from_robots(
     )
 
 
+# past this many candidate rows the per-host side tables (iteration
+# host counts, robots crawl-delay budgets) stop being broadcast and the
+# joins go distributed: distinct hosts are bounded above by candidate
+# rows, and at real-web host cardinality (~10^8) a per-host broadcast
+# is a multi-GB driver-serialized relation. Same gate shape as the
+# fetch join's ``fetch_broadcast_limit`` (plans/frontier.py:479).
+HOST_SIDE_BROADCAST_LIMIT = 4_000_000
+
+
 def _picked_rows(
     allowed: DataFrame,
     host_budget: int,
     salt_rows: int,
     host_budgets: DataFrame | None,
+    size_hint: int | None = None,
 ) -> DataFrame:
     """Per-host top-k core shared by :func:`pick_schedule` and
-    :func:`schedule_ranks`: salted pass-1 bound + exact pass-2 budget."""
+    :func:`schedule_ranks`: salted pass-1 bound + exact pass-2 budget.
+
+    ``size_hint`` (candidate row count, free from parquet footers in
+    the frontier loop) gates the two per-host broadcasts: below
+    ``HOST_SIDE_BROADCAST_LIMIT`` rows the host-count / host-budget
+    sides broadcast; past it they stay distributed shuffle joins (AQE
+    may still convert at runtime from the TRUE built size, which the
+    static hint deliberately over-estimates)."""
+    small_hosts = size_hint is None or size_hint <= HOST_SIDE_BROADCAST_LIMIT
+
+    def _host_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_hosts else df
+
     # per-iteration host frequency → salt factor S (skew-aware)
     host_counts = allowed.groupBy("host").agg(F.count("*").alias("__hc"))
     salted = (
-        allowed.join(F.broadcast(host_counts), "host")
+        allowed.join(_host_side(host_counts), "host")
         .withColumn("__S", F.greatest(F.lit(1), F.ceil(F.col("__hc") / F.lit(salt_rows))).cast("int"))
         .withColumn("host_salt", F.pmod(F.col("url_hash"), F.col("__S")).cast("int"))
     )
@@ -259,7 +281,7 @@ def _picked_rows(
     # pass 2: exact per-host budget over the ≤ S·budget survivors;
     # per-host crawl-delay budgets (≤ host_budget) bind here
     if host_budgets is not None:
-        pass1 = pass1.join(F.broadcast(host_budgets), "host", "left")
+        pass1 = pass1.join(_host_side(host_budgets), "host", "left")
         budget_col = F.coalesce(F.col("max_per_iter"), F.lit(host_budget))
     else:
         budget_col = F.lit(host_budget)
@@ -287,7 +309,7 @@ def pick_schedule(
     Returns fetch_schedule(iteration, seq, url, url_canon, url_hash,
     host, priority, depth, disc_seq).
     """
-    picked = _picked_rows(allowed, host_budget, salt_rows, host_budgets)
+    picked = _picked_rows(allowed, host_budget, salt_rows, host_budgets, size_hint)
     # global deterministic sequence — WITHOUT a single-partition window
     # (Window.orderBy() with no partitionBy funnels the whole schedule
     # through one task, and every downstream stage — fetch join, parse —
@@ -324,9 +346,9 @@ def schedule_ranks(
     per scheduled URL, so the join-back broadcasts at fetch-schedule
     sizes and shuffles cleanly past them.
     """
-    picked = _picked_rows(allowed, host_budget, salt_rows, host_budgets).withColumnRenamed(
-        "seq", "disc_seq"
-    )
+    picked = _picked_rows(
+        allowed, host_budget, salt_rows, host_budgets, size_hint
+    ).withColumnRenamed("seq", "disc_seq")
     return global_ranks(
         picked,
         order_col_names=["priority", "depth", "disc_seq", "url_hash"],

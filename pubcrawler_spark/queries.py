@@ -1643,18 +1643,16 @@ def q55(spark, sf_dir):
     signal queries open: q15/q51/q52 emit pairs, q54 resolves pairs
     into keep/drop groups; this query applies the verdict — documents
     anti-joined against the drop-set (component members minus the
-    min-id keeper). The anti-join ships only the (bounded) drop-ids,
-    so at 100 TB the corpus is read once and never shuffled; the
-    oracle computes the same closure with a recursive CTE and the
-    NOT IN anti-join."""
+    min-id keeper) via :func:`dedup.deduplicated_corpus`, whose
+    broadcast is size-gated (drop-ids broadcast when bounded, shuffle
+    anti-join past the limit), so at 100 TB the corpus is read once
+    and never shuffled; the oracle computes the same closure with a
+    recursive CTE and the NOT IN anti-join."""
     d = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.35)
     labels = dedup.connected_components(pairs)
-    drops = labels.filter(F.col("node") != F.col("comp")).select(
-        F.col("node").alias("doc_id")
-    )
     return (
-        d.join(F.broadcast(drops), "doc_id", "left_anti")
+        dedup.deduplicated_corpus(d, labels, "doc_id")
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )

@@ -391,3 +391,21 @@ def test_dedup_groups_transitive(spark):
 
     labels = {r.node: r.comp for r in dedup.connected_components(pairs).collect()}
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_deduplicated_corpus_broadcast_gate(spark):
+    """The drop-set anti-join broadcasts under the limit and runs as a
+    distributed shuffle anti-join past it (broadcast_limit=0) — same
+    kept corpus either way; chains keep only the min-id doc."""
+    docs = spark.createDataFrame([(i, f"text {i}") for i in range(6)],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    labels = dedup.connected_components(pairs)
+
+    bcast = dedup.deduplicated_corpus(docs, labels, "doc_id")
+    dist = dedup.deduplicated_corpus(docs, labels, "doc_id", broadcast_limit=0)
+    assert "ResolvedHint" in bcast._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in dist._jdf.queryExecution().analyzed().toString()
+    kept_b = {r.doc_id for r in bcast.collect()}
+    kept_d = {r.doc_id for r in dist.collect()}
+    assert kept_b == kept_d == {0, 1, 4, 5}

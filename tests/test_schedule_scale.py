@@ -101,3 +101,28 @@ def test_salted_budget_exact_at_scale(spark):
     n = out.count()
     assert out.agg(F.countDistinct("seq")).collect()[0][0] == n
     assert out.agg(F.max("seq")).collect()[0][0] == n - 1
+
+
+def test_host_side_broadcast_gate(spark):
+    """The per-host side tables (iteration host counts, crawl-delay
+    budgets) broadcast under HOST_SIDE_BROADCAST_LIMIT and fall back to
+    distributed joins past it — same picked rows either way."""
+    df = _frontier(spark, 20_000)
+    budgets = spark.createDataFrame([("h0.org", 7)], "host string, max_per_iter int")
+
+    def hints(d):
+        return d._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+    small = sched._picked_rows(df, 20, 500, budgets)
+    big = sched._picked_rows(df, 20, 500, budgets,
+                             size_hint=sched.HOST_SIDE_BROADCAST_LIMIT + 1)
+    # both host-side joins hinted under the gate, zero hints past it
+    assert hints(small) == 2
+    assert hints(big) == 0
+    # the distributed fallback picks the identical rows
+    assert small.exceptAll(big).count() == 0
+    assert big.exceptAll(small).count() == 0
+    # the crawl-delay budget binds on the hot host in BOTH modes
+    for out in (small, big):
+        hot = out.filter(F.col("host") == "h0.org").count()
+        assert hot == 7
