@@ -171,6 +171,22 @@ def run_frontier_bench(spark, n_pages: int, budget: int = BENCH_BUDGET, replicas
     t0 = time.monotonic()
     totals = engine.run(max_iterations=1 + BENCH_ITERATIONS, resume=True)
     wall = time.monotonic() - t0
+    # fixed-cost visibility: every committed iteration's manifest carries
+    # per-job wall times (job_ms); summing the steady iterations shows
+    # exactly which single-purpose job to amortize next
+    job_ms_total: dict[str, int] = {}
+    for d in sorted(os.listdir(ck)):
+        mf = os.path.join(ck, d, "_manifest.json")
+        if not (d.startswith("iter=") and d.split("=")[1].isdigit() and os.path.isfile(mf)):
+            continue
+        if int(d.split("=")[1]) < 1:  # iter=0 is the untimed seed warmup
+            continue
+        try:
+            jm = json.load(open(mf))["counts"].get("job_ms", {})
+        except Exception:
+            continue
+        for key, ms in jm.items():
+            job_ms_total[key] = job_ms_total.get(key, 0) + ms
     shutil.rmtree(ck, ignore_errors=True)
     urls = totals["scheduled"] + totals["parsed"]
     return {
@@ -181,6 +197,7 @@ def run_frontier_bench(spark, n_pages: int, budget: int = BENCH_BUDGET, replicas
         "n_pages": n_pages,
         "replicas": replicas,
         "iterations": totals["iterations"],
+        "job_ms_steady": job_ms_total,
     }
 
 
