@@ -385,6 +385,13 @@ def run_stage_throughput(cpus: int, n_pages: int, replicas: int) -> dict:
 
 QUIET_LOAD_THRESHOLD = 2.0  # 1-min loadavg gate; this VM idles at ~1.5-2.5 bursty background, so 2.0 is the strictest reachable gate
 QUIET_WAIT_MAX_S = 900
+# Per-run hypervisor-steal gate for scaling regens: genuinely quiet
+# regens measure <=430 jiffies per pinned run on this box, while the
+# two regens whose legs collapsed (r4 stage 0.41, r7 stage 0.29)
+# measured 3.4k and 11.6k — 1200 separates the populations with margin.
+STEAL_RUN_MAX = 1200
+STEAL_MAX_ATTEMPTS = 3      # per-run: original + up to 2 retries
+STEAL_REGEN_RETRY_BUDGET = 8  # per-regen cap across all ~37 runs
 
 
 def _steal_jiffies() -> int:
@@ -442,6 +449,8 @@ def run_scaling(n_pages: int, budget: int = BENCH_BUDGET, replicas: int = 3) -> 
     _bench_fixture_dir(n_pages, filler_kb=16.0)
     loads_seen: list[float] = []
     steal_seen: list[int] = []
+    steal_by_leg: dict[str, int] = {}
+    steal_retries_left = STEAL_REGEN_RETRY_BUDGET
 
     def run(mode_flag: str, cpus: int, extra: list[str]) -> dict:
         # taskset pins the WHOLE process tree (JVM + GC + shuffle + Arrow
@@ -454,15 +463,31 @@ def run_scaling(n_pages: int, budget: int = BENCH_BUDGET, replicas: int = 3) -> 
         # at 4N, systematically deflating measured efficiency (the +1
         # restores cluster semantics at both levels equally; measured:
         # scan 34.6k→45.1k at N=2 with the driver core).
-        loads_seen.append(_wait_quiet())
-        st0 = _steal_jiffies()
-        out = subprocess.run(
-            ["taskset", "-c", f"0-{cpus}",
-             sys.executable, os.path.abspath(__file__), mode_flag, "--cpus", str(cpus),
-             "--pages", str(n_pages)] + extra,
-            capture_output=True, text=True, check=True, cwd=REPO,
-        )
-        steal_seen.append(_steal_jiffies() - st0)
+        # Hypervisor-steal retry: a run whose /proc/stat steal delta
+        # exceeds STEAL_RUN_MAX jiffies was time-sliced against another
+        # VM (loadavg can't see it; observed collapsing the wide stage
+        # leg from ~17k to ~11k URLs/s, r7 regen 1) — re-run it, bounded
+        # by a per-regen retry budget so a persistently-contended host
+        # degrades to an honestly-labeled record instead of a hang.
+        nonlocal steal_retries_left
+        for _attempt in range(STEAL_MAX_ATTEMPTS):
+            loads_seen.append(_wait_quiet())
+            st0 = _steal_jiffies()
+            out = subprocess.run(
+                ["taskset", "-c", f"0-{cpus}",
+                 sys.executable, os.path.abspath(__file__), mode_flag, "--cpus", str(cpus),
+                 "--pages", str(n_pages)] + extra,
+                capture_output=True, text=True, check=True, cwd=REPO,
+            )
+            steal = _steal_jiffies() - st0
+            leg = f"{mode_flag.lstrip('-')}-{cpus}"
+            steal_by_leg[leg] = max(steal_by_leg.get(leg, 0), steal)
+            if steal <= STEAL_RUN_MAX or steal_retries_left <= 0:
+                steal_seen.append(steal)
+                break
+            steal_retries_left -= 1
+            print(f"[scaling] {leg}: steal {steal} jiffies > {STEAL_RUN_MAX}, "
+                  f"retrying ({steal_retries_left} retries left)", file=sys.stderr)
         return json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
 
     # median of N per level: single-run variance on a shared VM is ±15%
@@ -536,9 +561,14 @@ def run_scaling(n_pages: int, budget: int = BENCH_BUDGET, replicas: int = 3) -> 
     # from it (measured numbers only — never hardcoded narrative)
     regen_rec = {
         "ts": int(time.time()),
-        "quiet": bool(loads_seen) and max(loads_seen) < QUIET_LOAD_THRESHOLD,
+        # quiet = every run started below the loadavg gate AND no
+        # accepted run exceeded the per-run steal gate (the r7 regen-1
+        # lesson: load said quiet, steal said poisoned)
+        "quiet": (bool(loads_seen) and max(loads_seen) < QUIET_LOAD_THRESHOLD
+                  and bool(steal_seen) and max(steal_seen) <= STEAL_RUN_MAX),
         "max_start_load": summary["max_start_load"],
         "max_run_steal_jiffies": max(steal_seen) if steal_seen else None,
+        "steal_retries_used": STEAL_REGEN_RETRY_BUDGET - steal_retries_left,
         "scan_ceiling": scan_eff,
         "stage_vs_ceiling": stage_vs_ceiling,
         "stage": stage_eff,
@@ -563,7 +593,14 @@ def run_scaling(n_pages: int, budget: int = BENCH_BUDGET, replicas: int = 3) -> 
     # driver-tax asymmetry, and contended entries are measurement
     # noise; both stay visible in the §7 ledger, footnoted)
     cur_protocol = [
-        r for r in regens if r.get("quiet") and r.get("scan_ceiling") is not None
+        r for r in regens
+        if r.get("quiet")
+        and r.get("scan_ceiling") is not None
+        # steal gate applied retroactively: pre-gate ledger rows carry
+        # the steal they saw, so a row whose load said quiet but whose
+        # steal says poisoned (r7 regen 1: 11590 jiffies) is excluded
+        # from the headline medians without rewriting the ledger
+        and (r.get("max_run_steal_jiffies") or 0) <= STEAL_RUN_MAX
     ]
 
     def qmed(key):
@@ -608,7 +645,8 @@ scaling.
     regen_rows = "\n".join(
         f"| {i + 1} | {r['stage']} | {r.get('scan_ceiling', '—')} | {r.get('stage_vs_ceiling', '—')} "
         f"| {r['mega']} | {r['loop']} | {r['loop_fixture']} "
-        f"| {'quiet' if r.get('quiet') else 'contended'} (load ≤ {r.get('max_start_load')}) |"
+        f"| {'quiet' if r.get('quiet') and (r.get('max_run_steal_jiffies') or 0) <= STEAL_RUN_MAX else 'contended'}"
+        f" (load ≤ {r.get('max_start_load')}, steal {r.get('max_run_steal_jiffies', '—')}) |"
         for i, r in enumerate(regens)
     )
     with_ceiling = [r for r in regens if r.get("stage_vs_ceiling") is not None]
