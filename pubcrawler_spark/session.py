@@ -65,4 +65,13 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # last-wins env passthrough (JSON object of conf-key → value): lets
+    # bench legs and cluster launchers tune Spark confs without code
+    # edits — e.g. '{"spark.sql.adaptive.coalescePartitions.minPartitionSize":"256k"}'
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_conf:
+        import json
+
+        for k, v in json.loads(env_conf).items():
+            builder = builder.config(k, str(v))
     return builder.getOrCreate()
