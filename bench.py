@@ -390,17 +390,41 @@ QUIET_WAIT_MAX_S = 900
 # two regens whose legs collapsed (r4 stage 0.41, r7 stage 0.29)
 # measured 3.4k and 11.6k — 1200 separates the populations with margin.
 STEAL_RUN_MAX = 1200
-STEAL_MAX_ATTEMPTS = 3      # per-run: original + up to 2 retries
-STEAL_REGEN_RETRY_BUDGET = 8  # per-regen cap across all ~37 runs
+# env-overridable: a bursty-neighbor afternoon needs a bigger budget to
+# land a fully-quiet regen (observed 25k-jiffy bursts at ~50% duty
+# cycle, 2026-08-17) — the defaults still bound a persistently-noisy
+# host to an honestly-labeled contended record instead of a hang
+STEAL_MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_STEAL_ATTEMPTS", "3"))
+STEAL_REGEN_RETRY_BUDGET = int(os.environ.get("SPARK_GRAFT_STEAL_RETRIES", "8"))
 
 
-def _steal_jiffies() -> int:
+def _steal_jiffies(n_cores: int | None = None) -> int:
     """Hypervisor CPU steal (cumulative, /proc/stat field 8) — invisible
     to loadavg but poisons pinned measurements hardest; per-run deltas
-    make a contended-VM capture identifiable after the fact."""
+    make a contended-VM capture identifiable after the fact.
+
+    ``n_cores``: sum steal over cpu0..cpu{n-1} only — the cores a
+    taskset-pinned leg actually runs on. Gating on the 32-core
+    aggregate rejects runs for steal concentrated on cores the leg
+    never touches (measured 2026-08-17: pinned cores 0-8 saw ~350
+    jiffies/min while the box total saw ~1200/min from a neighbor VM
+    riding the upper cores — every run failed a system-wide gate while
+    the pinned set was genuinely quiet)."""
+    total = 0
     with open("/proc/stat") as fh:
-        parts = fh.readline().split()
-    return int(parts[8]) if len(parts) > 8 else 0
+        for line in fh:
+            if not line.startswith("cpu"):
+                break
+            parts = line.split()
+            if n_cores is None:
+                if parts[0] == "cpu":
+                    return int(parts[8]) if len(parts) > 8 else 0
+                continue
+            if parts[0] == "cpu":
+                continue
+            if int(parts[0][3:]) < n_cores and len(parts) > 8:
+                total += int(parts[8])
+    return total
 
 
 def _wait_quiet(max_wait_s: int = QUIET_WAIT_MAX_S) -> float:
@@ -449,6 +473,7 @@ def run_scaling(n_pages: int, budget: int = BENCH_BUDGET, replicas: int = 3) -> 
     _bench_fixture_dir(n_pages, filler_kb=16.0)
     loads_seen: list[float] = []
     steal_seen: list[int] = []
+    steal_total_seen: list[int] = []
     steal_by_leg: dict[str, int] = {}
     steal_retries_left = STEAL_REGEN_RETRY_BUDGET
 
@@ -469,24 +494,30 @@ def run_scaling(n_pages: int, budget: int = BENCH_BUDGET, replicas: int = 3) -> 
         # leg from ~17k to ~11k URLs/s, r7 regen 1) — re-run it, bounded
         # by a per-regen retry budget so a persistently-contended host
         # degrades to an honestly-labeled record instead of a hang.
+        # The gate basis is the PINNED cores (0..cpus, what taskset
+        # gives the leg): steal on the upper cores can't deschedule the
+        # leg's vCPUs, and gating system-wide was observed rejecting
+        # pinned-quiet runs for a neighbor riding cores 9-31. The
+        # system-wide delta is still recorded for the ledger.
         nonlocal steal_retries_left
         for _attempt in range(STEAL_MAX_ATTEMPTS):
             loads_seen.append(_wait_quiet())
-            st0 = _steal_jiffies()
+            st0p, st0t = _steal_jiffies(cpus + 1), _steal_jiffies()
             out = subprocess.run(
                 ["taskset", "-c", f"0-{cpus}",
                  sys.executable, os.path.abspath(__file__), mode_flag, "--cpus", str(cpus),
                  "--pages", str(n_pages)] + extra,
                 capture_output=True, text=True, check=True, cwd=REPO,
             )
-            steal = _steal_jiffies() - st0
+            steal = _steal_jiffies(cpus + 1) - st0p
+            steal_total_seen.append(_steal_jiffies() - st0t)
             leg = f"{mode_flag.lstrip('-')}-{cpus}"
             steal_by_leg[leg] = max(steal_by_leg.get(leg, 0), steal)
             if steal <= STEAL_RUN_MAX or steal_retries_left <= 0:
                 steal_seen.append(steal)
                 break
             steal_retries_left -= 1
-            print(f"[scaling] {leg}: steal {steal} jiffies > {STEAL_RUN_MAX}, "
+            print(f"[scaling] {leg}: pinned-core steal {steal} jiffies > {STEAL_RUN_MAX}, "
                   f"retrying ({steal_retries_left} retries left)", file=sys.stderr)
         return json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
 
@@ -568,6 +599,11 @@ def run_scaling(n_pages: int, budget: int = BENCH_BUDGET, replicas: int = 3) -> 
                   and bool(steal_seen) and max(steal_seen) <= STEAL_RUN_MAX),
         "max_start_load": summary["max_start_load"],
         "max_run_steal_jiffies": max(steal_seen) if steal_seen else None,
+        # gate basis since 2026-08-17: pinned cores 0..cpus (earlier
+        # rows are system-wide — a strictly harsher basis, so their
+        # quiet labels remain valid under the retroactive filter)
+        "steal_basis": "pinned",
+        "max_run_steal_total": max(steal_total_seen) if steal_total_seen else None,
         "steal_retries_used": STEAL_REGEN_RETRY_BUDGET - steal_retries_left,
         "scan_ceiling": scan_eff,
         "stage_vs_ceiling": stage_vs_ceiling,
