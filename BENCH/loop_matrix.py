@@ -27,25 +27,34 @@ import bench  # noqa: E402  (quiet-wait + steal helpers)
 
 VARIANTS: dict[str, dict[str, str]] = {
     "base": {},
-    # keep small shuffles at full core-count parallelism: per-iteration
-    # tables are ~MBs, so the 1m default merges them to < cpus tasks
-    "minps": {
-        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
-    },
-    # + finer input splits so the parquet read-backs fan out too
-    "minps_split": {
-        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+    # NOTE (r7): the frontier loop runs with AQE force-disabled
+    # (plans/frontier.py run()), so adaptive.coalescePartitions knobs
+    # are no-ops in-loop. The live levers with AQE off are (a) file
+    # split sizing — openCostInBytes defaults to 4 MB, which packs the
+    # per-iteration small-file read-backs (candidates/sched) into one
+    # or two scan tasks regardless of core count — and (b) static
+    # shuffle partition count.
+    #
+    # finer input splits: read-backs fan out to ~n_files tasks
+    "split": {
         "spark.sql.files.maxPartitionBytes": "16m",
         "spark.sql.files.openCostInBytes": "256k",
     },
-    # + 2x shuffle partitions for straggler smoothing at 8 cores
-    "minps_shuf2x": {
-        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+    # aggressive splits sized so even a ~24 MB candidates read-back
+    # spreads across 8 cores
+    "split_fine": {
+        "spark.sql.files.maxPartitionBytes": "4m",
+        "spark.sql.files.openCostInBytes": "64k",
+    },
+    # 2x shuffle partitions for straggler smoothing at 8 cores
+    "shuf2x": {
         "spark.sql.shuffle.partitions": "__2x_cpus__",
     },
-    # everything at once
+    # keep AQE ON in-loop (env hook in frontier.run): r4 measured AQE
+    # as a ~10% steady-wall cost, but per-leg — maybe it pays at 4N
+    "aqe_on": {"__env__SPARK_GRAFT_LOOP_AQE": "keep"},
+    # splits + shuffle together
     "all": {
-        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
         "spark.sql.files.maxPartitionBytes": "16m",
         "spark.sql.files.openCostInBytes": "256k",
         "spark.sql.shuffle.partitions": "__2x_cpus__",
@@ -58,6 +67,10 @@ LOOP_ARGS = ["--budget", "2000", "--pages", "300000", "--replicas", "3"]
 def run_leg(cpus: int, conf: dict[str, str]) -> dict:
     conf = {k: (str(2 * cpus) if v == "__2x_cpus__" else v) for k, v in conf.items()}
     env = dict(os.environ)
+    env.pop("SPARK_GRAFT_LOOP_AQE", None)
+    # "__env__NAME" pseudo-keys become env vars for the leg, not Spark conf
+    for k in [k for k in conf if k.startswith("__env__")]:
+        env[k[len("__env__"):]] = conf.pop(k)
     if conf:
         env["SPARK_GRAFT_EXTRA_CONF"] = json.dumps(conf)
     else:

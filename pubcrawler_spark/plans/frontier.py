@@ -302,7 +302,10 @@ class CrawlEngine:
         keep AQE (skew-join splitting matters there)."""
         conf = self.spark.conf
         aqe_before = conf.get("spark.sql.adaptive.enabled", "true")
-        conf.set("spark.sql.adaptive.enabled", "false")
+        # experiment escape hatch (BENCH/loop_matrix.py): keep AQE on
+        # in-loop to re-measure its cost/benefit per core count
+        if os.environ.get("SPARK_GRAFT_LOOP_AQE") != "keep":
+            conf.set("spark.sql.adaptive.enabled", "false")
         try:
             return self._run_loop(max_iterations, resume)
         finally:

@@ -301,3 +301,38 @@ def test_lite_mode_matches_detailed(spark, fixture, mirror_result, tmp_path):
         detailed_metrics=False, resume_at=2
     )
     _assert_matches_mirror(lite2, mirror_result, fixture)
+
+
+def test_loop_aqe_scoping_and_env_hook(spark, fixture, tmp_path, monkeypatch):
+    """run() disables AQE for the loop's static plans and restores it on
+    exit; SPARK_GRAFT_LOOP_AQE=keep (the BENCH/loop_matrix.py escape
+    hatch) leaves it on in-loop. The loop body is stubbed — this pins
+    the conf scoping, not crawl semantics."""
+    engine = CrawlEngine(
+        spark,
+        pages_spark_df(spark, fixture),
+        robots_spark_df(spark, fixture),
+        fixture.seeds,
+        checkpoint_dir=str(tmp_path / "ck_aqe"),
+        year=YEAR,
+        host_budget=BUDGET,
+    )
+    observed = {}
+    monkeypatch.setattr(
+        engine,
+        "_run_loop",
+        lambda mi, resume: observed.update(
+            aqe=spark.conf.get("spark.sql.adaptive.enabled")
+        )
+        or {},
+    )
+    monkeypatch.delenv("SPARK_GRAFT_LOOP_AQE", raising=False)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    engine.run(max_iterations=1)
+    assert observed["aqe"] == "false"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+    monkeypatch.setenv("SPARK_GRAFT_LOOP_AQE", "keep")
+    engine.run(max_iterations=1)
+    assert observed["aqe"] == "true"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
