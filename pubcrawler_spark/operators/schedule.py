@@ -158,11 +158,20 @@ def robots_allowed_rfc9309(path: str, rules) -> bool:
 
 
 def tag_robots(
-    frontier: DataFrame, robots_rules: DataFrame, advanced: bool = False
+    frontier: DataFrame,
+    robots_rules: DataFrame,
+    advanced: bool = False,
+    small_dim: bool = True,
 ) -> DataFrame:
     """Add ``robots_ok`` per robots rules (single pass — callers filter).
 
-    ``robots_rules`` is a per-host dim table — broadcast join, then:
+    ``robots_rules`` is a per-host dim table — broadcast join when
+    ``small_dim`` (the caller knows the dim's row count; the frontier
+    counts its cached rules dim once at init and flips this off past
+    ``HOST_SIDE_BROADCAST_LIMIT`` hosts — at real-web cardinality
+    (~10^8 robots hosts) the dim stays a distributed shuffle join,
+    same gate pattern as the fetch join's ``fetch_broadcast_limit``),
+    then:
 
     - fast path (``advanced=False``, correct while no host has Allow or
       wildcard rules): a pure-expression prefix test — path starts-with
@@ -181,7 +190,8 @@ def tag_robots(
     )
     drop_cols = [c for c in ("disallow", "rules", "has_advanced", "crawl_delay_ms")
                  if c in robots_rules.columns]
-    joined = with_path.join(F.broadcast(robots_rules), "host", "left")
+    rules_side = F.broadcast(robots_rules) if small_dim else robots_rules
+    joined = with_path.join(rules_side, "host", "left")
     is_disallowed = F.when(
         F.col("disallow").isNotNull(),
         F.exists("disallow", lambda p: F.col("__path").startswith(p)),
@@ -204,10 +214,13 @@ def tag_robots(
 
 
 def split_robots(
-    frontier: DataFrame, robots_rules: DataFrame, advanced: bool = False
+    frontier: DataFrame,
+    robots_rules: DataFrame,
+    advanced: bool = False,
+    small_dim: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """(allowed, disallowed) — see :func:`tag_robots`."""
-    tagged = tag_robots(frontier, robots_rules, advanced)
+    tagged = tag_robots(frontier, robots_rules, advanced, small_dim=small_dim)
     return (
         tagged.filter(F.col("robots_ok")).drop("robots_ok"),
         tagged.filter(~F.col("robots_ok")).drop("robots_ok"),

@@ -253,6 +253,14 @@ class CrawlEngine:
         self._robots_advanced = bool(
             self.robots_rules.filter("has_advanced").head(1)
         )
+        # one-time size gate for the per-iteration robots join: the
+        # count materializes the cache it already pays for, and past
+        # HOST_SIDE_BROADCAST_LIMIT hosts (real-web robots cardinality
+        # ~10^8) the rules dim stays a distributed shuffle join instead
+        # of a driver-melting broadcast.
+        self._robots_small = (
+            self.robots_rules.count() <= sched.HOST_SIDE_BROADCAST_LIMIT
+        )
         # robots Crawl-delay → per-host slot budgets (tiny dim, cached)
         self.host_budgets = sched.host_budgets_from_robots(
             self.robots_rules, host_budget, iteration_window_ms
@@ -446,7 +454,12 @@ class CrawlEngine:
         # materialized ONCE; the schedule ranks, leftovers, robots
         # metrics and the seen update are all projections of this table.
         cand_path = _write(
-            sched.tag_robots(unseen, self.robots_rules, advanced=self._robots_advanced),
+            sched.tag_robots(
+                unseen,
+                self.robots_rules,
+                advanced=self._robots_advanced,
+                small_dim=self._robots_small,
+            ),
             "candidates",
         )
         cand_rb = _rb("candidates")

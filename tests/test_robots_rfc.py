@@ -93,6 +93,23 @@ def test_tag_robots_rfc_path(spark):
         for r in sched.tag_robots(plain_only, rules, advanced=False).collect()
     }
     assert fast == {1: False, 2: True, 7: True}
+    # distributed-fallback parity: past HOST_SIDE_BROADCAST_LIMIT hosts
+    # the rules dim stops being broadcast (small_dim=False) — the
+    # shuffle-join path must produce identical verdicts, and its plan
+    # must carry no broadcast hint on the rules side.
+    dist = {
+        r["url_hash"]: r["robots_ok"]
+        for r in sched.tag_robots(
+            frontier, rules, advanced=True, small_dim=False
+        ).collect()
+    }
+    assert dist == got
+    def _opt_plan(small_dim):
+        df = sched.tag_robots(frontier, rules, advanced=True, small_dim=small_dim)
+        return df._jdf.queryExecution().optimizedPlan().toString().lower()
+
+    assert "broadcast" not in _opt_plan(False)
+    assert "broadcast" in _opt_plan(True)
 
 
 def test_engine_with_advanced_robots(spark, tmp_path):
