@@ -75,16 +75,27 @@ def run_leg(cpus: int, conf: dict[str, str]) -> dict:
         env["SPARK_GRAFT_EXTRA_CONF"] = json.dumps(conf)
     else:
         env.pop("SPARK_GRAFT_EXTRA_CONF", None)
-    bench._wait_quiet()
-    st0 = bench._steal_jiffies()
-    out = subprocess.run(
-        ["taskset", "-c", f"0-{cpus}", sys.executable,
-         os.path.join(REPO, "bench.py"), "--frontier-only", "--cpus", str(cpus)]
-        + LOOP_ARGS,
-        capture_output=True, text=True, check=True, cwd=REPO, env=env,
-    )
+    # same pinned-core steal gate as the regen legs: a matrix row whose
+    # run overlapped a hypervisor-steal burst is retried (bounded), so
+    # every reported variant efficiency comes from a quiet window
+    for attempt in range(bench.STEAL_MAX_ATTEMPTS):
+        bench._wait_quiet()
+        st0 = bench._steal_jiffies(cpus + 1)
+        out = subprocess.run(
+            ["taskset", "-c", f"0-{cpus}", sys.executable,
+             os.path.join(REPO, "bench.py"), "--frontier-only", "--cpus", str(cpus)]
+            + LOOP_ARGS,
+            capture_output=True, text=True, check=True, cwd=REPO, env=env,
+        )
+        steal = bench._steal_jiffies(cpus + 1) - st0
+        if steal <= bench.STEAL_RUN_MAX:
+            break
+        print(f"[matrix] {cpus}-core leg: pinned-core steal {steal} > "
+              f"{bench.STEAL_RUN_MAX}, retrying "
+              f"({bench.STEAL_MAX_ATTEMPTS - attempt - 1} attempts left)",
+              file=sys.stderr, flush=True)
     rec = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
-    rec["steal_jiffies_leg"] = bench._steal_jiffies() - st0
+    rec["steal_jiffies_leg"] = steal
     return rec
 
 
