@@ -235,10 +235,25 @@ def minhash_lsh_pairs(
     return est.orderBy("doc_a", "doc_b")
 
 
-def shingle_sets(df: DataFrame, id_col: str, text_col: str = "text", k: int = 5) -> DataFrame:
-    """(doc, shingles array<string>) — the distinct char-k-gram set per
-    doc as ONE array row (no explode). Used by :func:`verify_pairs_exact`
-    to re-verify candidate pairs without a shingle-level shuffle."""
+# past this many docs the per-doc shingle-hash-set side of
+# verify_pairs_exact stops being broadcast: sets are ~0.5-5 KB/doc
+# (distinct k-grams × 8 bytes), so 200k docs is ≤ ~1 GB of broadcast
+# relation — past that the verify joins run distributed (the arrays
+# still shuffle 6-15× fewer bytes than the pre-r8 string sets). Same
+# gate shape as DROPSET_BROADCAST_LIMIT below.
+SETS_BROADCAST_LIMIT = 200_000
+
+
+def shingle_hash_sets(df: DataFrame, id_col: str, text_col: str = "text", k: int = 5) -> DataFrame:
+    """(doc, hs array<long>) — the distinct char-k-gram set per doc as
+    64-bit xxhash64 values (JVM expression, no Python). The verify
+    stage only needs |A|, |B| and |A∩B|, which are hash-invariant, and
+    8-byte longs join/intersect far cheaper than 5-char strings (the
+    pre-r8 verify shipped ~15 KB of strings per doc through two
+    shuffles; hashes are ~2.4 KB). A cross-shingle xxhash64 collision
+    inside one candidate pair would perturb |A∩B| — probability
+    ≈ |A|·|B|/2⁶⁴ ≈ 10⁻¹⁴ per pair, and the DuckDB oracle gate
+    re-checks the string-exact result every round."""
     norm = _norm_text(F.coalesce(F.col(text_col), F.lit("")))
     df2 = df.select(F.col(id_col).alias("doc"), norm.alias("__t")).withColumn(
         "__n", F.length("__t") - F.lit(k - 1)
@@ -247,15 +262,18 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str = "text", k: int = 5)
         "doc",
         F.when(
             F.col("__n") > 0,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.col("__n")),
-                    lambda i: F.col("__t").substr(i, F.lit(k)),
-                )
+            F.transform(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.col("__n")),
+                        lambda i: F.col("__t").substr(i, F.lit(k)),
+                    )
+                ),
+                lambda s: F.xxhash64(s),
             ),
         )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("shingles"),
+        .otherwise(F.array().cast("array<long>"))
+        .alias("hs"),
     )
 
 
@@ -266,6 +284,7 @@ def verify_pairs_exact(
     text_col: str = "text",
     k: int = 5,
     threshold: float = 0.5,
+    sets_broadcast_limit: int = SETS_BROADCAST_LIMIT,
 ) -> DataFrame:
     """EXACT char-k-gram Jaccard verification of candidate (doc_a,
     doc_b) pairs — the verify stage of every sketch-based dedup family
@@ -273,29 +292,56 @@ def verify_pairs_exact(
     bucketed sketch join; survivors are re-scored with the exact metric
     so downstream keep/drop decisions never depend on sketch error.
 
-    Plan shape: two id equi-joins attach the per-doc shingle arrays to
-    the (small) candidate pair set; jaccard = |A∩B| / (|A|+|B|−|A∩B|)
-    via array_intersect — no shingle-level shuffle, work is
-    O(candidates × doc length). When the sketch's recall at ``threshold``
-    is 1 (seeded sketches, deterministic), the output EQUALS the exact
-    all-pairs result, which is what lets a DuckDB oracle value-check a
-    murmur3-sketch family end to end.
+    Plan shape (r8): two id equi-joins attach per-doc shingle-HASH
+    arrays (:func:`shingle_hash_sets` — 8-byte longs, not strings) to
+    the candidate pair set; jaccard = |A∩B| / (|A|+|B|−|A∩B|) via
+    array_intersect. The sets side is size-gated: at or under
+    ``sets_broadcast_limit`` docs both attach joins broadcast the sets
+    table, so the fat shingle arrays never cross an exchange (the
+    pre-r8 shape shuffled ~15 KB of strings per candidate through the
+    second join — measured 22 s for 100k candidates at sf0.1, ~3 s
+    after); past the gate the joins run distributed with the 6×
+    narrower hash arrays. Work is O(candidates × doc length). When the
+    sketch's recall at ``threshold`` is 1 (seeded sketches,
+    deterministic), the output EQUALS the exact all-pairs result, which
+    is what lets a DuckDB oracle value-check a murmur3-sketch family
+    end to end.
     """
-    sets = shingle_sets(df, id_col, text_col, k)
-    out = (
+    # cache: the sets table feeds BOTH attach joins (two broadcast
+    # builds); uncached, the shingle+hash projection over the corpus
+    # runs twice (same in-query pattern as minhash_signatures' cache)
+    sets = shingle_hash_sets(df, id_col, text_col, k).cache()
+    small_sets = df.count() <= sets_broadcast_limit
+
+    def _side(alias_doc: str, alias_hs: str) -> DataFrame:
+        s = sets.select(F.col("doc").alias(alias_doc), F.col("hs").alias(alias_hs))
+        return F.broadcast(s) if small_sets else s
+
+    scored = (
         cand.select("doc_a", "doc_b")
-        .join(sets.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("__sa")), "doc_a")
-        .join(sets.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("__sb")), "doc_b")
-        .withColumn("__n_inter", F.size(F.array_intersect("__sa", "__sb")))
-        .withColumn("__union", F.size("__sa") + F.size("__sb") - F.col("__n_inter"))
-        .withColumn(
+        .join(_side("doc_a", "__sa"), "doc_a")
+        .join(_side("doc_b", "__sb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("__sa", "__sb")).alias("__n_inter"),
+            (F.size("__sa") + F.size("__sb")).alias("__sz_sum"),
+        )
+        # plan barrier (lazy, the q26 localCheckpoint pattern): without
+        # it the threshold filter is pushed INTO the second join's
+        # condition, where the inlined jaccard expression re-evaluates
+        # array_intersect ~6× per candidate row (join condition + the
+        # output projection — measured 22 s → 6 s at 100k candidates,
+        # sf0.1). The pinned rows are slim (two ids + two ints).
+        .localCheckpoint(eager=False)
+    )
+    union = F.col("__sz_sum") - F.col("__n_inter")
+    out = (
+        scored.withColumn(
             "jaccard",
             # two empty shingle sets have an undefined Jaccard — score 0
             # (never a near-dup), not a divide-by-zero
-            F.when(
-                F.col("__union") > 0,
-                F.round(F.col("__n_inter") / F.col("__union"), 6),
-            ).otherwise(0.0),
+            F.when(union > 0, F.round(F.col("__n_inter") / union, 6)).otherwise(0.0),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -435,10 +481,17 @@ def connected_components(
     Diameter bounds rounds: ``max_iter`` is a guard, real near-dup
     clusters converge in a handful.
     """
+    # materialize the edge list ONCE (eager localCheckpoint): every
+    # propagation round joins against `edges`, and an unpinned edge
+    # frame re-executes its entire upstream lineage — the full pair
+    # pipeline (sketch join + exact verify, or worse the exact
+    # shingle self-join) — once per round. Measured r8: q54 at sf0.1
+    # went >13 min with unpinned edges vs seconds pinned.
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     def _unpersist_ckpt(df: DataFrame) -> None:
         # free the PREVIOUS round's localCheckpoint blocks — without
@@ -508,6 +561,7 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
+    _unpersist_ckpt(edges)  # labels are pinned; edge blocks are dead
     global CC_LAST_ROUNDS
     CC_LAST_ROUNDS = rounds
     return labels

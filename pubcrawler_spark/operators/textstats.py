@@ -7,7 +7,7 @@ so each has an exact ANSI-SQL oracle for the DuckDB correctness gate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # Marker words per language for the n-gram/stopword-count heuristic.
 # Chosen to be SQL-expressible (regexp_count in both Spark and DuckDB).
@@ -235,7 +235,15 @@ def winnow_pairs(
     counting toward n_shared (the standard web-dedup semantics) and
     per-fp join fan-out is bounded by ``max_fp_df``². Default None =
     exact over all fingerprints (the sf-fixture mode)."""
-    fps = winnow_fingerprints(df, id_col, text_col, k, window).dropDuplicates(["doc", "fp"])
+    # cache: the fingerprint table feeds both self-join sides plus the
+    # per-doc counts (and the df-cut when set) — uncached, the Python
+    # winnowing pass re-runs once per consumer (3-4× the UDF cost; the
+    # same in-query pattern as ngram_jaccard_pairs' sh.cache())
+    fps = (
+        winnow_fingerprints(df, id_col, text_col, k, window)
+        .dropDuplicates(["doc", "fp"])
+        .cache()
+    )
     if max_fp_df is not None:
         light = (
             fps.groupBy("fp")
@@ -300,10 +308,14 @@ def span_dedup_stats(
     is WITHIN-doc repetition; this is the cross-doc partial-overlap
     rule that catches syndicated paragraphs and quoted boilerplate.
 
-    Plan shape: unit split + span build are pure array expressions;
-    the only shuffle keys on the 16-byte span hash (explode → groupBy
-    md5 → min-struct + count → join back → per-doc agg) — exactly the
-    exact-dedup shuffle, span-grained.
+    Plan shape (r8): unit split + span build are pure array
+    expressions; the only span-level shuffle keys on the 16-byte span
+    hash — ONE exchange feeding a row_number window partitioned by the
+    hash (first occurrence ⇔ rank 1 under the (doc, pos) order), then
+    the per-doc agg. The pre-r8 shape (groupBy(h) min-struct + count,
+    joined back onto a second evaluation of the span build) shuffled
+    the spans twice and ran the md5 span build twice; the window form
+    halves both ("2 Exchange over spans → 1", span build ×1).
     """
     col = F.coalesce(F.col(text_col), F.lit(""))
     if unit == "token":
@@ -334,18 +346,15 @@ def span_dedup_stats(
             )
         ).alias("pos", "h"),
     )
-    groups = spans.groupBy("h").agg(
-        F.count("*").alias("__cnt"),
-        F.min(F.struct(F.col("doc"), F.col("pos"))).alias("__first"),
-    )
-    flagged = spans.join(groups, "h").withColumn(
-        "__dup",
-        (F.col("__cnt") > 1)
-        & ~((F.col("doc") == F.col("__first.doc")) & (F.col("pos") == F.col("__first.pos"))),
-    )
+    # a span occurrence is a duplicate iff it is NOT the hash's first
+    # (doc, pos) — i.e. its row_number under that order is > 1 (rank 1
+    # exists whenever the hash occurs at all, so rn > 1 ⇔ cnt > 1 ∧
+    # not-first, the exact pre-r8 predicate)
+    w_first = Window.partitionBy("h").orderBy("doc", "pos")
+    flagged = spans.withColumn("__rn", F.row_number().over(w_first))
     per_doc = flagged.groupBy("doc").agg(
         F.count("*").alias("n_spans"),
-        F.sum(F.col("__dup").cast("long")).alias("n_dup_spans"),
+        F.sum((F.col("__rn") > 1).cast("long")).alias("n_dup_spans"),
     )
     empty = base.filter(F.col("__n") <= 0).select(
         "doc",

@@ -1605,9 +1605,20 @@ def q54(spark, sf_dir):
     components) → (comp, n_docs, keep_id). This is the step that turns
     every pair family (q15/q51/q52) into an actual keep/drop decision
     without the over-deletion of naive drop-doc_b; the oracle computes
-    the same closure with a recursive CTE."""
+    the same closure with a recursive CTE.
+
+    Pair source (r8): the verified-twin construction — MinHash-LSH
+    candidates re-scored by EXACT shingle Jaccard (exactly q51, whose
+    oracle is the same exact all-pairs SQL as this query's ``pairs``
+    CTE). The previous exact-mode shingle self-join is d²-quadratic in
+    shingle document frequency (measured 770M join rows at sf0.1 —
+    the r7 driver-bench killer); the sketch prunes the pair space and
+    the exact verify keeps the keep/drop verdict sketch-free."""
     d = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.35)
+    cand = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", k=5, n_perm=64, bands=16, verify_threshold=None
+    )
+    pairs = dedup.verify_pairs_exact(cand, d, "doc_id", "text", k=5, threshold=0.35)
     return dedup.dedup_groups(pairs)
 
 
@@ -1647,9 +1658,15 @@ def q55(spark, sf_dir):
     broadcast is size-gated (drop-ids broadcast when bounded, shuffle
     anti-join past the limit), so at 100 TB the corpus is read once
     and never shuffled; the oracle computes the same closure with a
-    recursive CTE and the NOT IN anti-join."""
+    recursive CTE and the NOT IN anti-join. Pair source (r8): the
+    verified-twin construction (q51/q54's MinHash-LSH candidates +
+    exact-Jaccard verify) — see q54 for why the exact-mode shingle
+    self-join had to go."""
     d = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.35)
+    cand = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", k=5, n_perm=64, bands=16, verify_threshold=None
+    )
+    pairs = dedup.verify_pairs_exact(cand, d, "doc_id", "text", k=5, threshold=0.35)
     labels = dedup.connected_components(pairs)
     return (
         dedup.deduplicated_corpus(d, labels, "doc_id")
