@@ -275,22 +275,34 @@ def _picked_rows(
     def _host_side(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small_hosts else df
 
-    # per-iteration host frequency → salt factor S (skew-aware)
-    host_counts = allowed.groupBy("host").agg(F.count("*").alias("__hc"))
-    salted = (
-        allowed.join(_host_side(host_counts), "host")
-        .withColumn("__S", F.greatest(F.lit(1), F.ceil(F.col("__hc") / F.lit(salt_rows))).cast("int"))
-        .withColumn("host_salt", F.pmod(F.col("url_hash"), F.col("__S")).cast("int"))
-    )
-    # pass 1: bound each window partition to ~salt_rows rows, keep
-    # budget rows per salt (superset of the true per-host top-budget).
-    # Literal limit here so WindowGroupLimit (rank pushdown) applies.
-    w1 = Window.partitionBy("host", "host_salt").orderBy(*ORDER_COLS())
-    pass1 = (
-        salted.repartition("host", "host_salt")
-        .withColumn("__rn1", F.row_number().over(w1))
-        .filter(F.col("__rn1") <= host_budget)
-    )
+    if size_hint is not None and size_hint <= salt_rows:
+        # salt-skip fast path (r8): with ≤ salt_rows candidate rows in
+        # TOTAL, no single host can exceed salt_rows, so every salt
+        # factor S would be 1 and the salted pass-1 window would equal
+        # pass 2 — skip the host-count aggregation, its join, and the
+        # extra repartition+window outright (one fewer exchange + window
+        # in the per-iteration sched job; output provably identical).
+        # The skew machinery below engages exactly when the footer
+        # count says a giant host is POSSIBLE — scale-adaptive, not a
+        # local-mode tuning.
+        pass1 = allowed
+    else:
+        # per-iteration host frequency → salt factor S (skew-aware)
+        host_counts = allowed.groupBy("host").agg(F.count("*").alias("__hc"))
+        salted = (
+            allowed.join(_host_side(host_counts), "host")
+            .withColumn("__S", F.greatest(F.lit(1), F.ceil(F.col("__hc") / F.lit(salt_rows))).cast("int"))
+            .withColumn("host_salt", F.pmod(F.col("url_hash"), F.col("__S")).cast("int"))
+        )
+        # pass 1: bound each window partition to ~salt_rows rows, keep
+        # budget rows per salt (superset of the true per-host top-budget).
+        # Literal limit here so WindowGroupLimit (rank pushdown) applies.
+        w1 = Window.partitionBy("host", "host_salt").orderBy(*ORDER_COLS())
+        pass1 = (
+            salted.repartition("host", "host_salt")
+            .withColumn("__rn1", F.row_number().over(w1))
+            .filter(F.col("__rn1") <= host_budget)
+        )
     # pass 2: exact per-host budget over the ≤ S·budget survivors;
     # per-host crawl-delay budgets (≤ host_budget) bind here
     if host_budgets is not None:
@@ -328,7 +340,14 @@ def pick_schedule(
     # through one task, and every downstream stage — fetch join, parse —
     # inherits that one partition; observed as single-threaded parse).
     # Discovery seq is preserved as disc_seq (child-link ordering key).
-    picked = picked.withColumnRenamed("seq", "disc_seq")
+    # Pin (lazy localCheckpoint) before the rank join-back: global_
+    # sequence consumes `picked` on BOTH join sides, and unpinned the
+    # whole salted-window stack re-executes per side (q26's plan showed
+    # the stack twice over the full frontier). The pinned rows are the
+    # per-iteration fetch schedule itself — exactly what the crawl loop
+    # materializes to parquet at this point (schedule_ranks path), so
+    # the pin is the in-memory analog, bounded by hosts × budget rows.
+    picked = picked.withColumnRenamed("seq", "disc_seq").localCheckpoint(eager=False)
     return global_sequence(
         picked,
         order_col_names=["priority", "depth", "disc_seq", "url_hash"],

@@ -465,7 +465,6 @@ class CrawlEngine:
         cand_rb = _rb("candidates")
         t0 = time.monotonic()
         n_cand = _count_parquet(cand_path)
-        n_disallowed = _col_sum_false(cand_path, "robots_ok")
         job_ms["cand_counters"] = int((time.monotonic() - t0) * 1000)
         allowed_rb = cand_rb.filter(F.col("robots_ok")).drop("robots_ok")
 
@@ -584,9 +583,30 @@ class CrawlEngine:
             )
             .select(*_frontier_cols())
         )
-        frontier_path = _write(
-            leftover.unionByName(new_frontier).unionByName(retries), "frontier"
-        )
+        # the frontier write is a pure function of tables already on
+        # disk, and everything between here and the commit (seen delta,
+        # footer counters, bloom shard update, metrics) reads those same
+        # committed-to-tmp files — not the frontier output. Submit the
+        # write from a thread so the driver-side tail work back-fills
+        # the Spark job's wall time instead of serializing after it
+        # (guide-style job overlap; job descriptions are thread-local).
+        frontier_df = leftover.unionByName(new_frontier).unionByName(retries)
+        frontier_box: dict = {}
+
+        def _write_frontier() -> None:
+            try:
+                frontier_box["path"] = _write(frontier_df, "frontier")
+            except BaseException as exc:  # re-raised on join
+                frontier_box["exc"] = exc
+
+        from pyspark import InheritableThread
+
+        frontier_th = InheritableThread(target=_write_frontier)
+        frontier_th.start()
+
+        t0 = time.monotonic()
+        n_disallowed = _col_sum_false(cand_path, "robots_ok")
+        job_ms["cand_counters"] += int((time.monotonic() - t0) * 1000)
 
         # JOB 4: seen update = successfully fetched ∪ robots-disallowed
         # (fetch misses stay un-seen so retries pass the seen filter;
@@ -694,6 +714,11 @@ class CrawlEngine:
                     _read_col(seen_path, "url_hash").astype(np.int64)
                 )
                 self._shards.write(os.path.join(tmp, "seen_shards"))
+
+        frontier_th.join()
+        if "exc" in frontier_box:
+            raise frontier_box["exc"]
+        frontier_path = frontier_box["path"]
 
         t_commit = time.monotonic()
         counts = {

@@ -126,3 +126,21 @@ def test_host_side_broadcast_gate(spark):
     for out in (small, big):
         hot = out.filter(F.col("host") == "h0.org").count()
         assert hot == 7
+
+
+def test_salt_skip_fast_path_matches_salted(spark):
+    """r8 salt-skip: when size_hint proves no host can exceed salt_rows
+    (total rows <= salt_rows), the single-pass plan must pick the exact
+    same (url_canon, seq) schedule as the salted two-pass plan — and
+    schedule_ranks (the engine's slim form) must agree too."""
+    df = _frontier(spark, 5_000)
+    salted = {(r["url_canon"], r["seq"]) for r in
+              sched.pick_schedule(df, host_budget=20, iteration=0, salt_rows=200).collect()}
+    fast = {(r["url_canon"], r["seq"]) for r in
+            sched.pick_schedule(df, host_budget=20, iteration=0, salt_rows=200_000,
+                                size_hint=5_000).collect()}
+    assert fast == salted
+    slim = {(r["url_canon"], r["sched_seq"]) for r in
+            sched.schedule_ranks(df, host_budget=20, salt_rows=200_000,
+                                 size_hint=5_000).collect()}
+    assert slim == salted
