@@ -340,14 +340,17 @@ def pick_schedule(
     # through one task, and every downstream stage — fetch join, parse —
     # inherits that one partition; observed as single-threaded parse).
     # Discovery seq is preserved as disc_seq (child-link ordering key).
-    # Pin (lazy localCheckpoint) before the rank join-back: global_
-    # sequence consumes `picked` on BOTH join sides, and unpinned the
-    # whole salted-window stack re-executes per side (q26's plan showed
-    # the stack twice over the full frontier). The pinned rows are the
-    # per-iteration fetch schedule itself — exactly what the crawl loop
-    # materializes to parquet at this point (schedule_ranks path), so
-    # the pin is the in-memory analog, bounded by hosts × budget rows.
-    picked = picked.withColumnRenamed("seq", "disc_seq").localCheckpoint(eager=False)
+    # Pin (cache) before the rank join-back: global_sequence consumes
+    # `picked` on BOTH join sides, and unpinned the whole salted-window
+    # stack re-executes per side (q26's plan showed the stack twice over
+    # the full frontier). The pinned rows are the per-iteration fetch
+    # schedule itself — exactly what the crawl loop materializes to
+    # parquet at this point (schedule_ranks path), so the pin is the
+    # in-memory analog, bounded by hosts × budget rows. cache() rather
+    # than localCheckpoint so the window plan (incl. the
+    # WindowGroupLimit rank pushdown) stays visible/assertable in
+    # explain output.
+    picked = picked.withColumnRenamed("seq", "disc_seq").cache()
     return global_sequence(
         picked,
         order_col_names=["priority", "depth", "disc_seq", "url_hash"],
