@@ -178,3 +178,45 @@ def murmur3_64_batch(values, seed: int = 0) -> np.ndarray:
     h2 = _nfmix(h2)
     h1 = h1 + h2
     return h1.astype(np.int64)
+
+
+def murmur3_64_ascii_kgrams(codes_u8: np.ndarray, k: int) -> np.ndarray:
+    """Low-64 murmur3 of every DISTINCT k-byte substring of an ASCII
+    byte sequence — the char-shingle hashing hot path with zero
+    per-gram Python.
+
+    ``murmur3_64_batch`` is vectorized over the hash *blocks* but still
+    pays one Python-loop memcpy per input string; at minhash scale the
+    inputs are ~10⁶ five-byte grams per batch and that loop dominates
+    (measured 1.4 s for 1M grams at sf0.1). For grams of ``k ≤ 8``
+    bytes the murmur3 x64_128 tail consumes exactly
+    ``int.from_bytes(gram.ljust(8, b'\\0'), 'little')`` — i.e. the
+    little-endian packed gram integer — so the whole pipeline
+    (sliding-window extraction → packing → dedup → tail → finalizer)
+    runs as numpy vector ops. Value-identical to
+    ``murmur3_64_batch(distinct grams)`` (pinned by
+    tests/test_hashing_url.py); caller guarantees ASCII (codepoints
+    < 128) and ``k ≤ 8``.
+    """
+    if not 1 <= k <= 8:
+        raise ValueError(f"fast path requires 1 <= k <= 8, got {k}")
+    if len(codes_u8) < k:
+        return np.empty(0, dtype=np.int64)
+    wins = np.lib.stride_tricks.sliding_window_view(codes_u8, k)
+    packed = np.zeros(wins.shape[0], dtype=np.uint64)
+    for j in range(k):  # k vector ops, not per-gram work
+        packed |= wins[:, j].astype(np.uint64) << _U(8 * j)
+    uniq = np.unique(packed)  # distinct grams (order-irrelevant: minhash takes a min)
+    # murmur3 x64_128 with length k: zero blocks, tail rem = k <= 8 →
+    # only the k1 branch fires and k1 IS the packed integer
+    h1 = _nrotl(uniq * _NC1, 31) * _NC2  # h1 = seed(0) ^ k1-mixed
+    h2 = np.zeros_like(uniq)
+    uk = _U(k)
+    h1 = h1 ^ uk
+    h2 = h2 ^ uk
+    h1 = h1 + h2
+    h2 = h2 + h1
+    h1 = _nfmix(h1)
+    h2 = _nfmix(h2)
+    h1 = h1 + h2
+    return h1.astype(np.int64)

@@ -164,15 +164,36 @@ def _minhash_matrix(shingle_hashes: list[np.ndarray], n_perm: int, seed: int = 7
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str = "text", k: int = 5, n_perm: int = 64
 ) -> DataFrame:
-    """(doc, sig array<long>) — one vectorized Arrow pass."""
+    """(doc, sig array<long>) — one vectorized Arrow pass.
+
+    Shingle hashing takes the numpy fast path
+    (:func:`~pubcrawler_spark.functions.hashing.murmur3_64_ascii_kgrams`
+    — sliding-window pack + unique + vectorized murmur tail, zero
+    per-gram Python) for ASCII docs with k ≤ 8, which is the entire
+    fixture corpus; non-ASCII or wide-k docs fall back to the generic
+    per-gram batch hasher. Both produce identical hash sets (pinned by
+    tests), and minhash is order-invariant, so the signature values
+    are unchanged. Measured r8: the per-gram memcpy loop was ~55% of
+    the signature pass at sf0.1 (1.4 s of 2.55 s warm)."""
+    from pubcrawler_spark.functions.hashing import murmur3_64_ascii_kgrams
 
     @F.pandas_udf("array<long>")
     def _sig(texts: pd.Series) -> pd.Series:
         norm = texts.fillna("").str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
         hashes = []
         for t in norm:
-            grams = list({t[i : i + k] for i in range(max(0, len(t) - k + 1))})
-            hashes.append(murmur3_64_batch(grams) if grams else np.empty(0, np.int64))
+            if len(t) < k:
+                hashes.append(np.empty(0, np.int64))
+                continue
+            if k <= 8 and t.isascii():
+                hashes.append(
+                    murmur3_64_ascii_kgrams(
+                        np.frombuffer(t.encode("ascii"), dtype=np.uint8), k
+                    )
+                )
+            else:
+                grams = list({t[i : i + k] for i in range(len(t) - k + 1)})
+                hashes.append(murmur3_64_batch(grams))
         mat = _minhash_matrix(hashes, n_perm).astype(np.int64)
         return pd.Series(list(mat))
 

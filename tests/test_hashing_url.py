@@ -100,3 +100,50 @@ def test_spark_canonicalize_udf(spark):
         assert r.url_canon == canonicalize_one(r.url)
         assert r.host == extract_host(r.url)
         assert r.url_hash == murmur3_64(r.url_canon.encode())
+
+
+def test_murmur3_ascii_kgram_fast_path_parity():
+    """r8 fast path: the vectorized ASCII k-gram hasher must produce the
+    exact hash SET murmur3_64_batch produces over the distinct grams,
+    for every k in the supported 1..8 range, including edge lengths."""
+    import numpy as np
+
+    from pubcrawler_spark.functions.hashing import (
+        murmur3_64_ascii_kgrams,
+        murmur3_64_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = ["", "a", "ab", "abcde", "aaaaaaa", "the quick brown fox! 123"]
+    cases += [
+        "".join(chr(int(c)) for c in rng.integers(32, 127, int(n)))
+        for n in rng.integers(1, 300, 10)
+    ]
+    for txt in cases:
+        buf = np.frombuffer(txt.encode("ascii"), dtype=np.uint8)
+        for k in (1, 2, 5, 8):
+            grams = sorted({txt[i : i + k] for i in range(max(0, len(txt) - k + 1))})
+            want = sorted(murmur3_64_batch(grams).tolist()) if grams else []
+            got = sorted(murmur3_64_ascii_kgrams(buf, k).tolist())
+            assert got == want, (txt[:20], k)
+
+
+def test_minhash_signatures_unicode_fallback(spark):
+    """Non-ASCII docs take the generic gram path; signatures must match
+    the direct per-gram construction either way."""
+    import numpy as np
+
+    from pubcrawler_spark.functions.hashing import murmur3_64_batch
+    from pubcrawler_spark.operators.dedup import _minhash_matrix, minhash_signatures
+
+    rows = [(0, "résumé café naïve über"), (1, "plain ascii text here"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc"]: list(r["sig"]) for r in minhash_signatures(df, "doc_id", "text", k=5).collect()}
+    import re
+
+    for doc, text in rows:
+        t = re.sub(r"\s+", " ", text).strip().lower()
+        grams = list({t[i : i + 5] for i in range(max(0, len(t) - 4))})
+        h = [murmur3_64_batch(grams) if grams else np.empty(0, np.int64)]
+        want = _minhash_matrix(h, 64).astype(np.int64)[0].tolist()
+        assert got[doc] == want, doc
