@@ -743,6 +743,22 @@ def embedding_neardup_pairs(
         raise ValueError(f"unknown mode {mode!r} (expected 'exact' or 'lsh')")
 
     cos = _dot("v_a", "v_b") / (F.col("n_a") * F.col("n_b"))
+    if mode == "lsh":
+        # slim scoring + lazy barrier (the verify_pairs_exact r8
+        # pattern): without it the threshold filter is pushed into the
+        # candidate join's condition and the interpreted 64-element
+        # cosine fold evaluates twice per candidate pair (condition +
+        # output projection). Pinned rows are 24 bytes/candidate —
+        # bounded by the banded-bucket candidate volume. The exact mode
+        # below keeps the streaming shape: it is the ≤10k all-pairs
+        # oracle baseline, where pinning n² scored rows is the worse
+        # trade.
+        scored = cand.select(
+            "id_a", "id_b", F.round(cos, 6).alias("cosine")
+        ).localCheckpoint(eager=False)
+        return (
+            scored.filter(F.col("cosine") >= threshold).orderBy("id_a", "id_b")
+        )
     return (
         cand.withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= threshold)
