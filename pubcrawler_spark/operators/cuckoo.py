@@ -113,6 +113,16 @@ class CuckooShard:
         # skip items whose fingerprint is already present (idempotent set)
         present = self.contains(hashes)
         fp, i1, i2 = fp[~present], i1[~present], i2[~present]
+        # dedupe WITHIN the batch on the canonical (fp, bucket-pair) key:
+        # duplicates of a new item all pass the `present` filter above, and
+        # >2*BUCKET_SLOTS copies of one key can never place (both candidate
+        # buckets fill with its own fingerprint). Sequential inserts would
+        # have skipped the repeats via `contains`; do the same vectorized.
+        pair_key = (fp.astype(np.uint64) << np.uint64(32)) | np.minimum(i1, i2).astype(
+            np.uint64
+        )
+        keep = np.unique(pair_key, return_index=True)[1]
+        fp, i1, i2 = fp[keep], i1[keep], i2[keep]
         pending = np.ones(len(fp), dtype=bool)
         # round-based vectorized placement: i1 first, then i2
         for target in (i1, i2):

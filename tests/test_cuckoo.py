@@ -21,6 +21,19 @@ def test_cuckoo_no_false_negatives(hashes):
     assert s.contains(h).all()
 
 
+def test_cuckoo_inbatch_duplicates_do_not_overflow():
+    # Regression (hypothesis-found): >2*BUCKET_SLOTS copies of one NEW key in a
+    # single batch all passed the `present` filter and overflowed both candidate
+    # buckets. Batch insert must match sequential idempotent-insert semantics.
+    h = np.zeros(9, dtype=np.int64)
+    s = CuckooShard.sized(len(h) + 8)
+    s.insert(h)
+    assert s.contains(h).all()
+    # idempotent set: exactly one stored copy, so one delete forgets the key
+    assert s.delete(h[:1]).all()
+    assert not s.contains(h[:1]).any()
+
+
 def test_cuckoo_fpp_and_idempotence():
     rng = np.random.default_rng(9)
     inserted = rng.integers(-(2**63), 2**63 - 1, size=20_000, dtype=np.int64)
