@@ -657,6 +657,7 @@ def embedding_neardup_pairs(
     bands: int = 16,
     seed: int = 11,
     dim: int | None = None,
+    pin: bool = True,
 ) -> DataFrame:
     """Pairs with cosine similarity ≥ τ.
 
@@ -752,10 +753,12 @@ def embedding_neardup_pairs(
         # bounded by the banded-bucket candidate volume. The exact mode
         # below keeps the streaming shape: it is the ≤10k all-pairs
         # oracle baseline, where pinning n² scored rows is the worse
-        # trade.
-        scored = cand.select(
-            "id_a", "id_b", F.round(cos, 6).alias("cosine")
-        ).localCheckpoint(eager=False)
+        # trade. ``pin=False`` skips the barrier so plan tests can see
+        # the candidate join topology the barrier otherwise hides
+        # behind a Scan ExistingRDD (the q54 pair-stage pattern).
+        scored = cand.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        if pin:
+            scored = scored.localCheckpoint(eager=False)
         return (
             scored.filter(F.col("cosine") >= threshold).orderBy("id_a", "id_b")
         )

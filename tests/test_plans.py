@@ -74,13 +74,36 @@ def test_q31_scans_posting_index_with_term_pushdown(spark):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
 
 
+def _q32_unpinned_plan(spark) -> str:
+    """q32's construction with the scoring barrier disabled: the
+    registered query pins the slim scored projection behind a lazy
+    localCheckpoint (so the threshold filter cannot be pushed into the
+    candidate join's condition), which hides the join topology behind a
+    Scan ExistingRDD in explain. ``pin=False`` exposes the identical
+    candidate stage for the shape assertions below."""
+    from pubcrawler_spark.operators import dedup
+    from pubcrawler_spark.queries import _t
+
+    df = dedup.embedding_neardup_pairs(
+        _t(spark, SF, "embeddings"),
+        threshold=0.45, mode="lsh", n_bits=32, bands=16, pin=False,
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
 def test_q32_lsh_neardup_is_equi_join(spark):
     """The LSH near-dup candidates come from an EQUI join on
-    (band, bucket) — never a cartesian/nested-loop pair enumeration."""
-    p = _plan(spark, "q32_embedding_neardup_lsh")
+    (band, bucket) — never a cartesian/nested-loop pair enumeration.
+    The registered query must additionally keep the scoring barrier
+    (Scan ExistingRDD) so the filter evaluates cosine once per pair."""
+    p = _q32_unpinned_plan(spark)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "Join" in p
+    assert "Scan ExistingRDD" in _plan(spark, "q32_embedding_neardup_lsh")
 
 
 def test_q32_banded_exchange_carries_no_vectors(spark):
@@ -91,7 +114,7 @@ def test_q32_banded_exchange_carries_no_vectors(spark):
     the embedding/v column."""
     import re
 
-    p = _plan(spark, "q32_embedding_neardup_lsh")
+    p = _q32_unpinned_plan(spark)
     blocks = re.split(r"\n\n", p)
     # the ×bands fan-out happens at the posexplode Generate; everything
     # downstream of it (the band/bucket join, any exchange) inherits its
